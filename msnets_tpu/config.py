@@ -1,0 +1,186 @@
+"""Unified typed configuration for the MS-Nets TPU framework.
+
+Replaces the reference's three config tiers (SURVEY.md §5.6):
+  1. argparse runtime flags      (reference: main_msnet.py:803-838)
+  2. the hard-coded feature-stage hyper-parameter dict
+     ``get_default_args_dict``   (reference: src/dataloader/cbmv_generator.py:434-462)
+  3. the bash experiment driver  (reference: do_main_msnet.sh)
+
+Everything is a frozen dataclass so configs are hashable and can be closed
+over by jitted functions without retracing surprises.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+# float32(RAND_MAX): the sentinel the reference C++ kernels use to mark
+# cost-volume entries that were never computed (matchers.cpp:65,251,377,462).
+# 2147483647 rounds to 2147483648.0 in float32.
+INVALID = 2147483648.0
+INVALID_COST = INVALID  # alias
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchingConfig:
+    """Matching-space feature-stage hyper-parameters.
+
+    Defaults mirror the reference ``get_default_args_dict``
+    (cbmv_generator.py:434-462).
+    """
+    censw: int = 11          # census window
+    nccw: int = 3            # NCC window
+    sadw: int = 5            # ZSAD window
+    sobelw: int = 5          # SAD-of-Sobel window
+    cens_sigma: float = 128.0
+    ncc_sigma: float = 0.02
+    sad_sigma: float = 20000.0
+    # NOTE: the reference accepts sobel_sigma but actually uses sad_sigma for
+    # the sobel AML channel (cbmv_generator.py:224-225,298). We keep the field
+    # for API parity; feature assembly uses sad_sigma for sobel, as upstream.
+    sobel_sigma: float = 20000.0
+    num_channels: int = 8    # "cbmv_F": 8 (left-only) or 16 (left+right)
+    board_h: int = 12        # vertical margin cropped off train samples
+    ds_scale: int = 2        # features computed at 1/ds_scale resolution
+    sf_frames_type: str = "frames_finalpass"
+
+    @property
+    def left_only(self) -> bool:
+        return self.num_channels == 8
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """3-D cost-volume regularizer configuration."""
+    name: str = "MS-GCNet"       # "MS-GCNet" | "MS-PSMNet"
+    max_disp: int = 192
+    in_channels: int = 8
+    base_filters: int = 32       # GCNet "F" (gcnet_3dcnn.py:68)
+    # True when the input cost volume is 1/4 resolution (ds_scale == 4);
+    # the final deconv then upsamples x4 instead of x2 (gcnet_3dcnn.py:88-92).
+    quarter_input: bool = False
+    # encoder padding granularity: eval inputs are padded up to a multiple of
+    # this (reference self.ds = 32, main_msnet.py:59).
+    encoder_ds: int = 32
+    # compute dtype for convolutions ("bfloat16" recommended on TPU,
+    # "float32" for strict parity tests). Params/BN stats stay float32.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Trainer settings (reference main_msnet.py argparse + driver)."""
+    crop_height: int = 256
+    crop_width: int = 512
+    batch_size: int = 2
+    lr: float = 1e-3
+    # epoch after which lr is multiplied by 0.1 (main_msnet.py:223-231)
+    lr_decay_epoch: int = 200
+    lr_decay_factor: float = 0.1
+    epochs: int = 10
+    start_epoch: int = 0
+    seed: int = 1234
+    num_workers: int = 4
+    log_summary_step: int = 40
+    # checkpoint cadence: every epoch for Scene Flow, every N for KITTI
+    # fine-tuning (main_msnet.py:518-526)
+    kitti_ckpt_every: int = 25
+    # loss: GCNet KITTI = 0.4*smoothL1 + 0.6*MyLoss2(thresh=3, alpha=2)
+    loss2_thresh: float = 3.0
+    loss2_alpha: float = 2.0
+    checkpoint_dir: str = "./checkpoints"
+    train_logdir: str = "./logs"
+    resume: str = ""
+    # gradient rematerialization of encoder stages to trade FLOPs for HBM
+    remat: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection & paths (reference dataset flags + lists)."""
+    data_path: str = ""
+    training_list: str = "lists/sceneflow_train.list"
+    test_list: str = "lists/sceneflow_test_small.list"
+    # mutually exclusive dataset selectors, as in the reference CLI
+    kitti2012: bool = False
+    kitti2015: bool = False
+    eth3d: bool = False
+    middlebury: bool = False
+
+    @property
+    def dataset(self) -> str:
+        if self.kitti2012:
+            return "kitti2012"
+        if self.kitti2015:
+            return "kitti2015"
+        if self.eth3d:
+            return "eth3d"
+        if self.middlebury:
+            return "middlebury"
+        return "sceneflow"
+
+    @property
+    def bad_threshold(self) -> float:
+        """Per-dataset bad-τ threshold (main_msnet.py:598-605)."""
+        if self.kitti2012 or self.kitti2015:
+            return 3.0
+        return 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for SPMD execution.
+
+    Axes (SURVEY.md §5.7):
+      data    - batch (data parallel; gradient psum over ICI)
+      spatial - H axis of the cost volume (halo exchange for 3-D convs)
+      disp    - disparity axis (soft-argmin becomes a cross-chip reduction)
+    """
+    data: int = 1
+    spatial: int = 1
+    disp: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.spatial * self.disp
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    result_dir: str = "./results"
+    threshold: float = 3.0       # overridden per dataset at eval time
+    save_pfm: bool = True
+    save_color: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    matching: MatchingConfig = dataclasses.field(default_factory=MatchingConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    mode: str = "train"          # train | loop-train | test | val-30 | cross-val | eval-badx
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        return Config(
+            matching=MatchingConfig(**d.get("matching", {})),
+            model=ModelConfig(**d.get("model", {})),
+            train=TrainConfig(**d.get("train", {})),
+            data=DataConfig(**d.get("data", {})),
+            mesh=MeshConfig(**d.get("mesh", {})),
+            eval=EvalConfig(**d.get("eval", {})),
+            mode=d.get("mode", "train"),
+        )
+
+
+def replace(cfg, **kw):
+    """dataclasses.replace passthrough for terseness."""
+    return dataclasses.replace(cfg, **kw)
