@@ -1,0 +1,291 @@
+"""Host-side input pipeline: cropping, margins, padding, sample assembly.
+
+Re-designs the reference's DataLoader-worker feature pipeline (reference:
+src/dataloader/cbmv_generator.py:549-861, dataset.py:124-346) TPU-first:
+hosts read images and produce *uint8 crops* (~0.4 MB/pair); the matching-cost
+feature stage runs on-device (ops.features.ms_features_train). A host-side
+feature path via the NumPy/C++ oracle remains available as a CPU fallback.
+
+Crop semantics parity:
+  * margins: board_w_left = max_disp (the unmatchable left band is cropped
+    away after matching), board_w_right = 0 for left-only features,
+    board_h = 12 (cbmv_generator.py:581-593)
+  * random crop window [crop_h + 2*board_h, crop_w + bwl + bwr] with
+    margin halving for narrow images (ETH3D; cbmv_generator.py:398-432).
+    NOTE the reference's halving loop never re-halves (it recomputes
+    board_w_left // 2 of the *original* each iteration and would spin
+    forever); we halve progressively, which matches its behaviour in every
+    case that terminates.
+  * GT disparity: crop, inf -> 0, margins removed -> [crop_h, crop_w]
+    full-resolution (cbmv_generator.py:622-638)
+  * test-time: pad top+right to a multiple of encoder_ds
+    (cbmv_generator.py:780-788), then (on device) downsample x1/2, 10-px
+    border pad to suppress sentinel edge values, features, border trimmed
+    (cbmv_generator.py:818-834)
+
+Determinism: crops draw from a per-sample ``np.random.Generator`` seeded by
+(seed, epoch, index) so the pipeline is reproducible and resumable across
+hosts — each host computes the same sequence and takes its shard.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import MatchingConfig
+from . import pfm as pfmio
+from . import resolvers
+
+
+# ---------------------------------------------------------------------------
+# image IO (monkeypatchable for tests / synthetic data)
+# ---------------------------------------------------------------------------
+
+def read_gray(path: str) -> np.ndarray:
+    import cv2
+    img = cv2.imread(path, 0)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img.astype(np.uint8)
+
+
+def read_rgb(path: str) -> np.ndarray:
+    import cv2
+    img = cv2.imread(path, 1)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img[:, :, ::-1].astype(np.uint8)  # BGR -> RGB
+
+
+# ---------------------------------------------------------------------------
+# crop geometry
+# ---------------------------------------------------------------------------
+
+def crop_position(w: int, h: int, crop_w: int, crop_h: int,
+                  board_w_left: int, board_w_right: int, board_h: int,
+                  rng: Optional[np.random.Generator],
+                  fixed_center: bool = False):
+    """(start_w, start_h, finish_w, finish_h, bwl, bwr); see module docstring.
+
+    Mirrors get_crop_position (cbmv_generator.py:398-432).
+    """
+    bwl, bwr = board_w_left, board_w_right
+    while w - crop_w - bwl - bwr < 0:
+        if bwl == 0 and bwr == 0:
+            raise ValueError(f"image width {w} < crop width {crop_w}")
+        bwl //= 2
+        bwr //= 2
+    if fixed_center:
+        start_w = max((w - crop_w - bwl - bwr) // 2 - 1, 0)
+        start_h = max((h - crop_h - 2 * board_h) // 2 - 1, 0)
+    else:
+        start_w = int(rng.integers(0, w - crop_w - bwl - bwr + 1))
+        start_h = int(rng.integers(0, h - crop_h - 2 * board_h + 1))
+    finish_h = start_h + crop_h + 2 * board_h
+    finish_w = start_w + crop_w + bwl + bwr
+    return start_w, start_h, finish_w, finish_h, bwl, bwr
+
+
+def _remove_border(a: np.ndarray, board_h: int, bwl: int, bwr: int) -> np.ndarray:
+    h_end = -board_h if board_h > 0 else None
+    w_end = -bwr if bwr > 0 else None
+    return np.ascontiguousarray(a[board_h:h_end, bwl:w_end])
+
+
+# ---------------------------------------------------------------------------
+# samples
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TrainSample:
+    """Host output for one training example. Images still carry the margins;
+    the device feature stage trims them (scaled by ds_scale)."""
+    iml: np.ndarray          # uint8 [crop_h + 2*bh, crop_w + bwl + bwr]
+    imr: np.ndarray          # uint8, same shape
+    disp: np.ndarray         # float32 [crop_h, crop_w] full-res GT
+    left_rgb: np.ndarray     # float32 [3, crop_h, crop_w] in [0, 1]
+    right_rgb: np.ndarray    # float32 [3, crop_h, crop_w]
+    board_h: int
+    board_w_left: int
+    board_w_right: int
+
+
+@dataclasses.dataclass
+class TestSample:
+    iml: np.ndarray          # uint8 [crop_h, crop_w] padded full-res
+    imr: np.ndarray
+    height: int              # original image dims
+    width: int
+    crop_height: int         # padded dims (multiple of encoder_ds)
+    crop_width: int
+    entry: str
+    disp_path: str
+
+
+def make_train_sample(limg: str, rimg: str, ldisp: str,
+                      crop_h: int, crop_w: int, max_disp: int,
+                      cfg: MatchingConfig,
+                      rng: Optional[np.random.Generator] = None,
+                      fixed_center: bool = False,
+                      left_only: bool = True) -> TrainSample:
+    """Read + crop one training pair (generate_crop_train_cbmv semantics,
+    minus the feature stage which runs on device)."""
+    iml = read_gray(limg)
+    imr = read_gray(rimg)
+    iml_rgb = read_rgb(limg)
+    imr_rgb = read_rgb(rimg)
+    h, w = iml.shape
+    bwl = max_disp
+    bwr = 0 if left_only else max_disp
+    sw, sh, fw, fh, bwl, bwr = crop_position(
+        w, h, crop_w, crop_h, bwl, bwr, cfg.board_h, rng, fixed_center)
+
+    disp = pfmio.read_pfm(ldisp)
+    disp = disp[sh:fh, sw:fw].copy()
+    disp[disp == np.inf] = 0.0
+    disp = _remove_border(disp, cfg.board_h, bwl, bwr)
+
+    def crop_rgb(img):
+        c = _remove_border(img[sh:fh, sw:fw], cfg.board_h, bwl, bwr)
+        return np.ascontiguousarray(c.transpose(2, 0, 1)).astype(np.float32) / 255.0
+
+    return TrainSample(
+        iml=np.ascontiguousarray(iml[sh:fh, sw:fw]),
+        imr=np.ascontiguousarray(imr[sh:fh, sw:fw]),
+        disp=disp.astype(np.float32),
+        left_rgb=crop_rgb(iml_rgb),
+        right_rgb=crop_rgb(imr_rgb),
+        board_h=cfg.board_h, board_w_left=bwl, board_w_right=bwr)
+
+
+def make_dummy_train_sample(crop_h: int, crop_w: int, max_disp: int,
+                            cfg: MatchingConfig,
+                            left_only: bool = True) -> TrainSample:
+    """Shape-correct synthetic fixture (generate_dummy_crop_train_cbmv,
+    cbmv_generator.py:508-545): constant-64 disparity, zero images."""
+    bh, bwl = cfg.board_h, max_disp
+    bwr = 0 if left_only else max_disp
+    shape = (crop_h + 2 * bh, crop_w + bwl + bwr)
+    return TrainSample(
+        iml=np.zeros(shape, np.uint8), imr=np.zeros(shape, np.uint8),
+        disp=np.full((crop_h, crop_w), 64.0, np.float32),
+        left_rgb=np.zeros((3, crop_h, crop_w), np.float32),
+        right_rgb=np.zeros((3, crop_h, crop_w), np.float32),
+        board_h=bh, board_w_left=bwl, board_w_right=bwr)
+
+
+def make_test_sample(limg: str, rimg: str, ldisp: str, entry: str,
+                     encoder_ds: int = 32) -> TestSample:
+    """Pad top+right to a multiple of encoder_ds (generate_test_cbmv,
+    cbmv_generator.py:780-788). Downsample + border pad run on device."""
+    iml = read_gray(limg)
+    imr = read_gray(rimg)
+    h, w = iml.shape
+    cw = w + (encoder_ds - w % encoder_ds) % encoder_ds
+    ch = h + (encoder_ds - h % encoder_ds) % encoder_ds
+    pad_h, pad_w = ch - h, cw - w
+    iml = np.pad(iml, ((pad_h, 0), (0, pad_w)))
+    imr = np.pad(imr, ((pad_h, 0), (0, pad_w)))
+    return TestSample(iml=iml, imr=imr, height=h, width=w,
+                      crop_height=ch, crop_width=cw, entry=entry,
+                      disp_path=ldisp)
+
+
+# ---------------------------------------------------------------------------
+# dataset iterators with thread prefetching
+# ---------------------------------------------------------------------------
+
+class TrainPipeline:
+    """Deterministic, shuffled, thread-prefetched training stream.
+
+    Replaces the reference's DataLoader worker processes + per-epoch process
+    restarts (SURVEY.md §5.3). Feature extraction is NOT done here — batches
+    carry uint8 image crops; the jitted train step computes features
+    on device.
+
+    Sharding: with (num_hosts, host_id) each host takes entries
+    ``perm[host_id::num_hosts]`` of the epoch permutation — full coverage
+    (the reference's contiguous split drops N mod workers files,
+    dataset.py:349-357).
+    """
+
+    def __init__(self, data_cfg, match_cfg: MatchingConfig,
+                 crop_h: int, crop_w: int, max_disp: int,
+                 batch_size: int, seed: int = 1234,
+                 num_threads: int = 4, num_hosts: int = 1, host_id: int = 0,
+                 fixed_center: bool = False):
+        self.data_cfg = data_cfg
+        self.cfg = match_cfg
+        self.crop_h, self.crop_w, self.max_disp = crop_h, crop_w, max_disp
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_threads = num_threads
+        self.num_hosts, self.host_id = num_hosts, host_id
+        self.fixed_center = fixed_center
+        self.entries = resolvers.load_list(data_cfg.training_list)
+        self.cleanpass = match_cfg.sf_frames_type == "frames_cleanpass"
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.entries) // self.num_hosts
+        return n // self.batch_size
+
+    def _load(self, epoch: int, index: int) -> TrainSample:
+        entry = self._epoch_entries[index]
+        paths = resolvers.resolve(self.data_cfg.dataset, self.data_cfg.data_path,
+                                  entry, self.cleanpass)
+        rng = np.random.default_rng((self.seed, epoch, index))
+        return make_train_sample(paths[0], paths[1], paths[2],
+                                 self.crop_h, self.crop_w, self.max_disp,
+                                 self.cfg, rng, self.fixed_center)
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        """Yield batches of stacked host arrays for one epoch."""
+        perm_rng = np.random.default_rng((self.seed, epoch))
+        perm = perm_rng.permutation(len(self.entries))
+        shard = perm[self.host_id::self.num_hosts]
+        self._epoch_entries = [self.entries[i] for i in shard]
+        n_batches = len(self._epoch_entries) // self.batch_size
+        indices = list(range(n_batches * self.batch_size))
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
+            futures = [ex.submit(self._load, epoch, i) for i in indices]
+            for b in range(n_batches):
+                samples = [futures[b * self.batch_size + j].result()
+                           for j in range(self.batch_size)]
+                yield {
+                    "iml": np.stack([s.iml for s in samples]),
+                    "imr": np.stack([s.imr for s in samples]),
+                    "disp": np.stack([s.disp for s in samples]),
+                    "left_rgb": np.stack([s.left_rgb for s in samples]),
+                    "right_rgb": np.stack([s.right_rgb for s in samples]),
+                    "board_h": samples[0].board_h,
+                    "board_w_left": samples[0].board_w_left,
+                    "board_w_right": samples[0].board_w_right,
+                }
+
+
+class TestPipeline:
+    """Sequential eval stream (batch 1, like the reference test loader)."""
+
+    def __init__(self, data_cfg, match_cfg: MatchingConfig, encoder_ds: int = 32):
+        self.data_cfg = data_cfg
+        self.cfg = match_cfg
+        self.encoder_ds = encoder_ds
+        self.entries = resolvers.load_list(data_cfg.test_list)
+        self.cleanpass = match_cfg.sf_frames_type == "frames_cleanpass"
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __iter__(self) -> Iterator[TestSample]:
+        for entry in self.entries:
+            paths = resolvers.resolve(self.data_cfg.dataset,
+                                      self.data_cfg.data_path, entry,
+                                      self.cleanpass)
+            yield make_test_sample(paths[0], paths[1], paths[2], entry,
+                                   self.encoder_ds)

@@ -1,0 +1,21 @@
+from .gcnet import MSGCNet  # noqa: F401
+from .psmnet import MSPSMNet  # noqa: F401
+from .layers import soft_argmin, resize_trilinear_align_corners  # noqa: F401
+
+
+def build_model(model_cfg, remat: bool = False):
+    """Model factory by name (reference main_msnet.py:60-65)."""
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32
+    if model_cfg.name == "MS-GCNet":
+        return MSGCNet(max_disp=model_cfg.max_disp,
+                       in_channels=model_cfg.in_channels,
+                       num_filters=model_cfg.base_filters,
+                       quarter_input=model_cfg.quarter_input,
+                       dtype=dtype, remat=remat)
+    if model_cfg.name == "MS-PSMNet":
+        return MSPSMNet(max_disp=model_cfg.max_disp,
+                        in_channels=model_cfg.in_channels,
+                        upscale=4 if model_cfg.quarter_input else 2,
+                        dtype=dtype, remat=remat)
+    raise ValueError(f"No suitable model found: {model_cfg.name}")

@@ -1,0 +1,69 @@
+"""MS-GCNet: GCNet-style encoder-decoder 3-D cost-volume regularizer.
+
+Architecture parity with the reference GCNet_CostVolumeAggre
+(src/models/gcnet_3dcnn.py:57-141):
+
+    stem:    2x (conv3d+BN+ReLU)          8 -> 32 -> 32
+    encoder: 4x Conv3DBlock stride 2      32 -> 64 -> 64 -> 64 -> 128
+    decoder: 4x (deconv3d+BN) with additive skips + ReLU
+             128 -> 64 (+res29), 64 -> 64 (+res26), 64 -> 64 (+res23),
+             64 -> 32 (+res20)
+    head:    ConvTranspose3d(32 -> 1, stride 2 [or 4 for quarter-res input],
+             no BN/ReLU) restoring full D, H, W
+    softmax over D + soft-argmin disparity expectation
+
+Native layout [N, D, H, W, C]; returns disparity [N, H, W]. The input is the
+half-resolution 8-channel MS feature volume; the final deconv doubles D/H/W
+to full resolution, so D_in = max_disp // 2.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import Conv3DBlock, ConvBN3D, Deconv3D, DeconvBN3D, soft_argmin
+
+
+class MSGCNet(nn.Module):
+    max_disp: int = 192
+    in_channels: int = 8
+    num_filters: int = 32          # reference self.F (gcnet_3dcnn.py:68)
+    quarter_input: bool = False    # input volume at 1/4 res -> final x4 deconv
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, cv, train: bool = False):
+        """cv: [N, D_in, H_in, W_in, C] -> disparity [N, 2*H_in, 2*W_in]."""
+        F = self.num_filters
+        dt = self.dtype
+        x = cv.astype(dt)
+
+        block = Conv3DBlock
+        if self.remat:
+            block = nn.remat(Conv3DBlock, static_argnums=(2,))
+
+        x = nn.relu(ConvBN3D(F, 1, dtype=dt, name="conv3dbn_1")(x, train))
+        x = nn.relu(ConvBN3D(F, 1, dtype=dt, name="conv3dbn_2")(x, train))
+        res_l20 = x
+        x = block(2 * F, 2, dtype=dt, name="block_3d_1")(x, train)
+        res_l23 = x
+        x = block(2 * F, 2, dtype=dt, name="block_3d_2")(x, train)
+        res_l26 = x
+        x = block(2 * F, 2, dtype=dt, name="block_3d_3")(x, train)
+        res_l29 = x
+        x = block(4 * F, 2, dtype=dt, name="block_3d_4")(x, train)
+
+        x = nn.relu(DeconvBN3D(2 * F, dtype=dt, name="deconvbn1")(x, train) + res_l29)
+        x = nn.relu(DeconvBN3D(2 * F, dtype=dt, name="deconvbn2")(x, train) + res_l26)
+        x = nn.relu(DeconvBN3D(2 * F, dtype=dt, name="deconvbn3")(x, train) + res_l23)
+        x = nn.relu(DeconvBN3D(F, dtype=dt, name="deconvbn4")(x, train) + res_l20)
+
+        # reference deconv5 is a bare nn.ConvTranspose3d (default bias=True)
+        stride = 4 if self.quarter_input else 2
+        x = Deconv3D(1, stride=stride, use_bias=True, dtype=dt,
+                     name="deconv5")(x)                              # [N,D,H,W,1]
+        logits = jnp.squeeze(x, axis=-1)                             # [N,D,H,W]
+        return soft_argmin(logits, self.max_disp)

@@ -1,0 +1,151 @@
+"""Model tests: layer parity vs PyTorch, architecture shapes, converter."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from msnets_tpu.config import ModelConfig
+from msnets_tpu.models import MSGCNet, MSPSMNet, build_model
+from msnets_tpu.models.layers import (Deconv3D, resize_trilinear_align_corners,
+                                      soft_argmin)
+from msnets_tpu.models.torch_convert import convert_state_dict
+
+torch = pytest.importorskip("torch")
+from . import torch_ref  # noqa: E402
+
+
+def _t2j_in(x_nchw):
+    """torch [N, C, D, H, W] -> flax [N, D, H, W, C]."""
+    return jnp.asarray(np.moveaxis(x_nchw.numpy(), 1, -1))
+
+
+def test_deconv3d_matches_torch():
+    """Our input-dilated deconv == ConvTranspose3d(k3, s2, p1, op1)."""
+    torch.manual_seed(0)
+    tconv = torch.nn.ConvTranspose3d(3, 5, 3, stride=2, padding=1,
+                                     output_padding=1, bias=True)
+    x = torch.randn(2, 3, 4, 6, 5)
+    with torch.no_grad():
+        ref = tconv(x).numpy()
+
+    m = Deconv3D(5, stride=2, use_bias=True)
+    w = tconv.weight.detach().numpy()           # [in, out, kd, kh, kw]
+    kernel = np.transpose(w[:, :, ::-1, ::-1, ::-1], (2, 3, 4, 0, 1)).copy()
+    params = {"params": {"kernel": jnp.asarray(kernel),
+                         "bias": jnp.asarray(tconv.bias.detach().numpy())}}
+    got = m.apply(params, _t2j_in(x))
+    got = np.moveaxis(np.asarray(got), -1, 1)
+    assert got.shape == ref.shape == (2, 5, 8, 12, 10)
+    np.testing.assert_allclose(ref, got, atol=1e-5)
+
+
+def test_deconv3d_stride4_shape():
+    """Quarter-res head: ConvTranspose3d(k3, s4, p1, op3) -> x4 dims."""
+    m = Deconv3D(1, stride=4)
+    x = jnp.zeros((1, 3, 4, 5, 2))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (1, 12, 16, 20, 1)
+
+
+def test_trilinear_align_corners_matches_torch():
+    torch.manual_seed(1)
+    x = torch.randn(2, 1, 5, 7, 9)
+    ref = torch.nn.functional.interpolate(
+        x, [10, 14, 18], mode="trilinear", align_corners=True).numpy()
+    got = resize_trilinear_align_corners(
+        jnp.asarray(x.numpy()), (10, 14, 18), axes=(2, 3, 4))
+    np.testing.assert_allclose(ref, np.asarray(got), atol=1e-5)
+
+
+def test_soft_argmin_peaky():
+    D = 8
+    logits = jnp.full((1, D, 2, 2), -30.0)
+    logits = logits.at[:, 5].set(30.0)
+    d = soft_argmin(logits, D)
+    np.testing.assert_allclose(np.asarray(d), 5.0, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def gcnet_pair():
+    """Torch GCNet with random weights + our model with converted weights."""
+    torch.manual_seed(42)
+    tm = torch_ref.TorchGCNet(max_disp=32, cin=8, F=8)
+    tm.eval()
+    variables = convert_state_dict(tm.state_dict(), "MS-GCNet")
+    jm = MSGCNet(max_disp=32, in_channels=8, num_filters=8, dtype=jnp.float32)
+    return tm, jm, {"params": variables["params"],
+                    "batch_stats": variables["batch_stats"]}
+
+
+def test_gcnet_eval_parity(gcnet_pair):
+    tm, jm, variables = gcnet_pair
+    torch.manual_seed(7)
+    x = torch.rand(1, 8, 16, 16, 32)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    got = np.asarray(jm.apply(variables, _t2j_in(x), train=False))
+    assert ref.shape == got.shape == (1, 32, 64)
+    np.testing.assert_allclose(ref, got, atol=2e-3)
+
+
+def test_gcnet_train_mode_batchstats(gcnet_pair):
+    """Train mode uses batch statistics -> must also match torch train mode."""
+    tm, jm, variables = gcnet_pair
+    tm.train()
+    torch.manual_seed(8)
+    x = torch.rand(2, 8, 16, 16, 32)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    tm.eval()
+    got, _ = jm.apply(variables, _t2j_in(x), train=True,
+                      mutable=["batch_stats"])
+    np.testing.assert_allclose(ref, np.asarray(got), atol=2e-3)
+
+
+def test_gcnet_init_and_param_count():
+    cfg = ModelConfig(name="MS-GCNet", max_disp=192, compute_dtype="float32")
+    m = build_model(cfg)
+    x = jnp.zeros((1, 96, 16, 32, 8))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+    # reference MS-GCNet parameter count is ~2.8M (all in 3-D convs)
+    assert 2.5e6 < n < 3.2e6, n
+
+
+def test_psmnet_eval_parity():
+    torch.manual_seed(3)
+    tm = torch_ref.TorchPSMNet(max_disp=32, cin=8, upscale=2)
+    tm.eval()
+    variables = convert_state_dict(tm.state_dict(), "MS-PSMNet")
+    jm = MSPSMNet(max_disp=32, in_channels=8, upscale=2, dtype=jnp.float32)
+    x = torch.rand(1, 8, 16, 8, 16)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    got = np.asarray(jm.apply(variables, _t2j_in(x), train=False))
+    assert ref.shape == got.shape == (1, 16, 32)
+    np.testing.assert_allclose(ref, got, atol=2e-3)
+
+
+def test_psmnet_train_three_heads():
+    torch.manual_seed(4)
+    tm = torch_ref.TorchPSMNet(max_disp=16, cin=8, upscale=2)
+    tm.train()
+    variables = convert_state_dict(tm.state_dict(), "MS-PSMNet")
+    jm = MSPSMNet(max_disp=16, in_channels=8, upscale=2, dtype=jnp.float32)
+    x = torch.rand(2, 8, 8, 8, 16)
+    with torch.no_grad():
+        r1, r2, r3 = tm(x)
+    (g1, g2, g3), _ = jm.apply(variables, _t2j_in(x), train=True,
+                               mutable=["batch_stats"])
+    for r, g in ((r1, g1), (r2, g2), (r3, g3)):
+        np.testing.assert_allclose(r.numpy(), np.asarray(g), atol=2e-3)
+
+
+def test_bfloat16_forward_runs():
+    cfg = ModelConfig(name="MS-GCNet", max_disp=32, compute_dtype="bfloat16")
+    m = build_model(cfg)
+    x = jnp.zeros((1, 16, 16, 16, 8))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    y = m.apply(v, x, train=False)
+    assert y.dtype == jnp.float32 and y.shape == (1, 32, 32)
