@@ -1,0 +1,212 @@
+"""Trainer: jitted train step with the on-device MS-feature stage.
+
+Re-designs the reference training loop (reference main_msnet.py:325-528)
+TPU-first: one jit-compiled function takes uint8 image crops, computes the
+matching-space features, runs the 3-D regularizer, loss, gradients, Adam
+update and BatchNorm stat updates — all on device, with sharding annotations
+for the (data, spatial, disp) mesh. The host only decodes/crops images.
+
+Parity elements:
+  * Adam(lr, betas=(0.9, 0.999)) (main_msnet.py:192)
+  * LR schedule: lr for epoch <= 200, then lr * 0.1 (main_msnet.py:223-231)
+  * loss selection per model/dataset (main_msnet.py:389-405)
+  * per-step metrics: loss, EPE (MAE on valid mask), accu3
+  * checkpoint cadence: every epoch (Scene Flow) / every 25 (KITTI), final
+    always (main_msnet.py:518-526, 772-782); epoch-addressable names
+  * per-epoch reshuffle (dataset.py:272-279) — here a seeded permutation
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..config import Config
+from ..models import build_model
+from ..ops.features import ms_features_train
+from . import checkpoint as ckpt
+from . import loss as L
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(lr: float):
+    """Adam with injectable learning rate (epoch LR schedule)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr, b1=0.9, b2=0.999)
+
+
+def epoch_lr(base_lr: float, epoch: int, decay_epoch: int = 200,
+             factor: float = 0.1) -> float:
+    """main_msnet.py:223-231 (epoch is 1-based)."""
+    return base_lr if epoch <= decay_epoch else base_lr * factor
+
+
+class Trainer:
+    """Owns model, optimizer, jitted step, checkpoints."""
+
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.model = build_model(cfg.model, remat=cfg.train.remat)
+        self.tx = make_optimizer(cfg.train.lr)
+        self.mesh = mesh
+        self.is_kitti = cfg.data.kitti2012 or cfg.data.kitti2015
+        self._step_fns = {}
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, sample_feats_shape: Tuple[int, ...],
+                   seed: int = 0) -> TrainState:
+        x = jnp.zeros(sample_feats_shape, jnp.float32)
+        variables = self.model.init(jax.random.PRNGKey(seed), x, train=False)
+        params = variables["params"]
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          batch_stats=variables.get("batch_stats", {}),
+                          opt_state=self.tx.init(params))
+
+    def feats_shape_for(self, batch_size: int) -> Tuple[int, ...]:
+        t, m = self.cfg.train, self.cfg.matching
+        s = m.ds_scale
+        return (batch_size, self.cfg.model.max_disp // s,
+                t.crop_height // s, t.crop_width // s, m.num_channels)
+
+    # -- the jitted step --------------------------------------------------
+    def _build_step(self, board_h: int, bwl: int, bwr: int):
+        model = self.model
+        tx = self.tx
+        mcfg = self.cfg.matching
+        max_disp = self.cfg.model.max_disp
+        is_kitti = self.is_kitti
+        thresh = self.cfg.train.loss2_thresh
+        alpha = self.cfg.train.loss2_alpha
+        is_psmnet = self.cfg.model.name == "MS-PSMNet"
+
+        mesh = self.mesh
+
+        def step(state: TrainState, iml, imr, target, lr):
+            feats = jax.vmap(lambda a, b: ms_features_train(
+                a, b, max_disp, mcfg, board_h, bwl, bwr,
+                mcfg.left_only))(iml, imr)
+            if mesh is not None:
+                from ..parallel import mesh as pm
+                feats = jax.lax.with_sharding_constraint(
+                    feats, pm.shard(mesh, pm.VOLUME))
+
+            mask = L.train_valid_mask(target, max_disp)
+
+            def loss_fn(params):
+                out, upd = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    feats, train=True, mutable=["batch_stats"])
+                if is_psmnet:
+                    d0, d1, disp = out
+                    loss = L.psmnet_loss(d0, d1, disp, target, mask,
+                                         is_kitti, thresh, alpha)
+                else:
+                    disp = out
+                    loss = L.gcnet_loss(disp, target, mask, is_kitti,
+                                        thresh, alpha)
+                return loss, (disp, upd["batch_stats"])
+
+            (loss, (disp, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            opt_state = state.opt_state._replace(
+                hyperparams={**state.opt_state.hyperparams,
+                             "learning_rate": lr})
+            updates, new_opt = tx.update(grads, opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics = {
+                "loss": loss,
+                "epe": L.epe(disp, target, mask),
+                "accu3": L.valid_accu3(target, disp, mask),
+            }
+            new_state = state.replace(step=state.step + 1, params=new_params,
+                                      batch_stats=new_bs, opt_state=new_opt)
+            return new_state, metrics, disp
+
+        if mesh is not None:
+            from ..parallel import mesh as pm
+            rep = pm.shard(mesh, pm.REPLICATED)
+            return jax.jit(
+                step,
+                in_shardings=(rep, pm.shard(mesh, pm.IMAGES),
+                              pm.shard(mesh, pm.IMAGES),
+                              pm.shard(mesh, pm.TARGET), rep),
+                out_shardings=(rep, rep, pm.shard(mesh, pm.DISPARITY)),
+                donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,))
+
+    def step_fn(self, board_h: int, bwl: int, bwr: int):
+        key = (board_h, bwl, bwr)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step(*key)
+        return self._step_fns[key]
+
+    # -- epoch loop -------------------------------------------------------
+    def train_epoch(self, state: TrainState, pipeline, epoch: int,
+                    log_fn=None) -> Tuple[TrainState, Dict[str, float]]:
+        lr = epoch_lr(self.cfg.train.lr, epoch, self.cfg.train.lr_decay_epoch,
+                      self.cfg.train.lr_decay_factor)
+        tot = {"loss": 0.0, "epe": 0.0, "accu3": 0.0}
+        n = 0
+        for i, batch in enumerate(pipeline.epoch(epoch)):
+            t0 = time.time()
+            fn = self.step_fn(batch["board_h"], batch["board_w_left"],
+                              batch["board_w_right"])
+            state, metrics, disp = fn(state, jnp.asarray(batch["iml"]),
+                                      jnp.asarray(batch["imr"]),
+                                      jnp.asarray(batch["disp"]),
+                                      jnp.asarray(lr, jnp.float32))
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t0
+            for k in tot:
+                tot[k] += m[k]
+            n += 1
+            if log_fn is not None:
+                log_fn(epoch=epoch, iteration=i, metrics=m, sec_per_step=dt,
+                       state=state, disp=disp, batch=batch)
+        avg = {k: v / max(n, 1) for k, v in tot.items()}
+        return state, avg
+
+    # -- checkpointing ----------------------------------------------------
+    def maybe_save(self, state: TrainState, epoch: int,
+                   avg: Dict[str, float], final: bool = False):
+        t = self.cfg.train
+        cadence_ok = (epoch % t.kitti_ckpt_every == 0) if self.is_kitti else True
+        if cadence_ok or final:
+            return ckpt.save_checkpoint(
+                t.checkpoint_dir, self.cfg.model.name, epoch, state,
+                meta={"loss": avg.get("loss"), "epe_err": avg.get("epe"),
+                      "accu3": avg.get("accu3")})
+        return None
+
+    def resume(self, state: TrainState, path: str) -> TrainState:
+        """Resume from our msgpack or import a reference torch .tar."""
+        if path.endswith(".tar"):
+            variables = ckpt.load_weights_any(path, self.cfg.model.name)
+            return state.replace(params=_merge_loose(state.params, variables["params"]),
+                                 batch_stats=_merge_loose(state.batch_stats,
+                                                          variables["batch_stats"]))
+        restored, _ = ckpt.load_checkpoint(path, state)
+        return restored
+
+
+def _merge_loose(template, loaded):
+    """strict=False load: take loaded leaves where paths+shapes match."""
+    def merge(t, l):
+        if isinstance(t, dict):
+            return {k: merge(t[k], l[k]) if isinstance(l, dict) and k in l else t[k]
+                    for k in t}
+        arr = np.asarray(l)
+        return jnp.asarray(arr) if arr.shape == tuple(t.shape) else t
+    return merge(template, loaded)

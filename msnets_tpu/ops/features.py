@@ -193,3 +193,26 @@ def ms_features_train(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
         raise NotImplementedError(f"ds_scale={s}")
     return ms_features(iml, imr, maxdisp // s, cfg, board_h // s,
                        board_w_left // s, board_w_right // s, left_only)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def ms_features_test(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
+                     cfg: MatchingConfig, left_only: bool = True) -> jnp.ndarray:
+    """Test-time feature stage (generate_test_cbmv, cbmv_generator.py:727-861).
+
+    Inputs are the full-res pair already padded to a multiple of encoder_ds
+    (top + right, host side). Here: downsample by ds_scale, pad a 10-px
+    border on all sides to keep sentinel values off the image
+    (cbmv_generator.py:818-823), compute features with board 10/10/10, which
+    trims the border back off. Output [D/s, H/s, W/s, C].
+    """
+    s = cfg.ds_scale
+    if s == 2:
+        iml = downsample_half(iml)
+        imr = downsample_half(imr)
+    elif s != 1:
+        raise NotImplementedError(f"ds_scale={s}")
+    b = 10
+    iml = jnp.pad(iml, ((b, b), (b, b)))
+    imr = jnp.pad(imr, ((b, b), (b, b)))
+    return ms_features(iml, imr, maxdisp // s, cfg, b, b, b, left_only)

@@ -1,0 +1,82 @@
+"""Device mesh and sharding layout for SPMD execution.
+
+The scaling axes for a 4-D cost volume workload (SURVEY.md §2.3/§5.7):
+
+  data    - batch; gradient all-reduce (psum) over ICI          [DP]
+  spatial - the H axis of images/volumes; XLA inserts halo
+            exchanges for the spatially-partitioned 3-D convs   [SP analogue]
+  disp    - the disparity axis; softmax + soft-argmin over D
+            become cross-chip reductions                        [TP analogue]
+
+Everything is expressed as PartitionSpecs on the train/eval step's inputs and
+jit sharding constraints; XLA GSPMD propagates them through the conv stack
+and materializes the halo exchanges and reductions as ICI collectives — no
+hand-written transport (the reference has none either: its only parallelism
+is single-process DataParallel, main_msnet.py:173-174).
+
+Pipeline parallelism is deliberately absent: the largest model is ~2.8 M
+params (SURVEY.md §2.3 row PP), thousands of times smaller than one chip's
+HBM; a stage split would only add bubbles.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "spatial", "disp")
+
+
+def factorize_devices(n: int) -> Tuple[int, int, int]:
+    """Split n devices over (data, spatial, disp), preferring data first.
+
+    8 -> (2, 2, 2); 4 -> (2, 2, 1); 2 -> (2, 1, 1); 1 -> (1, 1, 1);
+    non-power-of-two remainders go to data.
+    """
+    dims = [1, 1, 1]
+    i = 0
+    while n % 2 == 0 and n > 1:
+        dims[i % 3] *= 2
+        n //= 2
+        i += 1
+    dims[0] *= n  # odd remainder -> data
+    return tuple(dims)
+
+
+def make_mesh(shape: Optional[Tuple[int, int, int]] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = factorize_devices(len(devices))
+    assert int(np.prod(shape)) == len(devices), (shape, len(devices))
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, AXES)
+
+
+# PartitionSpecs for the pipeline's arrays ---------------------------------
+
+# uint8 image batches [N, H, W]: batch over data, rows over spatial.
+IMAGES = P("data", "spatial", None)
+# GT disparity [N, H, W]
+TARGET = P("data", "spatial", None)
+# feature / cost volumes [N, D, H, W, C]: D over disp, H over spatial.
+VOLUME = P("data", "disp", "spatial", None, None)
+# model outputs [N, H, W]
+DISPARITY = P("data", "spatial", None)
+# parameters and optimizer state: replicated.
+REPLICATED = P()
+
+
+def shard(mesh: Mesh, spec: P):
+    return NamedSharding(mesh, spec)
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device_put a host batch with the canonical shardings."""
+    out = dict(batch)
+    for k in ("iml", "imr"):
+        out[k] = jax.device_put(batch[k], shard(mesh, IMAGES))
+    out["disp"] = jax.device_put(batch["disp"], shard(mesh, TARGET))
+    return out

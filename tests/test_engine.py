@@ -1,0 +1,125 @@
+"""Engine integration tests: trainer loop, checkpointing, evaluator.
+
+Miniature of BASELINE configs 2/4: synthetic Scene Flow tree -> train a few
+steps -> checkpoint -> resume -> evaluate -> PFM results + metrics.
+"""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from msnets_tpu.config import (Config, DataConfig, EvalConfig, MatchingConfig,
+                               ModelConfig, TrainConfig)
+from msnets_tpu.data import pfm as pfmio
+from msnets_tpu.data.pipeline import TrainPipeline
+from msnets_tpu.engine import Trainer, Evaluator, eval_bad_x
+from msnets_tpu.engine import checkpoint as ck
+
+
+def _make_tree(root, n=4, h=96, w=192, disp_val=6.0):
+    import cv2
+    rng = np.random.default_rng(5)
+    entries = []
+    for i in range(n):
+        shift = int(disp_val)
+        base = rng.integers(0, 256, (h, w + shift), dtype=np.uint8)
+        left = base[:, :w]
+        right = base[:, shift:]
+        disp = np.full((h, w), disp_val, np.float32)
+        ldir = root / f"FlyingThings3D/frames_finalpass/TRAIN/A/{i:04d}/left"
+        rdir = root / f"FlyingThings3D/frames_finalpass/TRAIN/A/{i:04d}/right"
+        ddir = root / f"FlyingThings3D/disparity/TRAIN/A/{i:04d}/left"
+        for d in (ldir, rdir, ddir):
+            d.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(ldir / "0006.png"), left)
+        cv2.imwrite(str(rdir / "0006.png"), right)
+        pfmio.write_pfm(str(ddir / "0006.pfm"), disp)
+        entries.append(f"FlyingThings3D/frames_finalpass/TRAIN/A/{i:04d}/left/0006.png")
+    lst = root / "list.list"
+    lst.write_text("\n".join(entries) + "\n")
+    return str(lst)
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sf")
+    lst = _make_tree(root)
+    return Config(
+        matching=MatchingConfig(board_h=4),
+        model=ModelConfig(name="MS-GCNet", max_disp=32, base_filters=4,
+                          compute_dtype="float32", encoder_ds=32),
+        train=TrainConfig(crop_height=64, crop_width=128, batch_size=2,
+                          lr=1e-3, epochs=1, num_workers=2,
+                          checkpoint_dir=str(root / "ckpt"), remat=False),
+        data=DataConfig(data_path=str(root), training_list=lst, test_list=lst),
+        eval=EvalConfig(result_dir=str(root / "results")),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(cfg):
+    tr = Trainer(cfg)
+    state = tr.init_state(tr.feats_shape_for(cfg.train.batch_size))
+    pipe = TrainPipeline(cfg.data, cfg.matching, cfg.train.crop_height,
+                         cfg.train.crop_width, cfg.model.max_disp,
+                         cfg.train.batch_size, seed=1, num_threads=2)
+    logged = []
+    state, avg = tr.train_epoch(state, pipe, epoch=1,
+                                log_fn=lambda **kw: logged.append(kw["metrics"]))
+    return tr, state, avg, logged
+
+
+def test_train_epoch_runs_and_logs(trained):
+    tr, state, avg, logged = trained
+    assert len(logged) == 2                      # 4 files / batch 2
+    assert np.isfinite(avg["loss"]) and np.isfinite(avg["epe"])
+    assert int(state.step) == 2
+
+
+def test_lr_schedule():
+    from msnets_tpu.engine import epoch_lr
+    assert epoch_lr(1e-3, 1) == 1e-3
+    assert epoch_lr(1e-3, 200) == 1e-3
+    assert epoch_lr(1e-3, 201) == pytest.approx(1e-4)
+
+
+def test_checkpoint_roundtrip_and_resume(cfg, trained):
+    tr, state, avg, _ = trained
+    path = tr.maybe_save(state, epoch=1, avg=avg)
+    assert path and os.path.exists(path) and path.endswith("model_epoch_00001.msgpack")
+    tr2 = Trainer(cfg)
+    fresh = tr2.init_state(tr2.feats_shape_for(cfg.train.batch_size))
+    restored = tr2.resume(fresh, path)
+    a = jnp.asarray(state.params["conv3dbn_1"]["conv"]["kernel"])
+    b = jnp.asarray(restored.params["conv3dbn_1"]["conv"]["kernel"])
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
+
+
+def test_evaluator_end_to_end(cfg, trained):
+    tr, state, _, _ = trained
+    ev = Evaluator(cfg, {"params": state.params, "batch_stats": state.batch_stats})
+    out = ev.run(log=lambda *a, **k: None)
+    assert out["frames"] == 4
+    assert np.isfinite(out["avg_epe"])
+    # scene flow threshold = 1.0
+    assert out["threshold"] == 1.0
+    # PFM saved for iteration 0 (sceneflow saves every 50th)
+    assert os.path.exists(os.path.join(cfg.eval.result_dir, "0.pfm"))
+
+
+def test_eval_badx_rescores_saved_pfms(cfg, trained):
+    """eval-badx reads saved results and recomputes metrics offline."""
+    # evaluator above only saved iteration 0; save the rest manually
+    from msnets_tpu.data import resolvers as R
+    entries = R.load_list(cfg.data.test_list)
+    for i, e in enumerate(entries):
+        p = os.path.join(cfg.eval.result_dir, f"{i}.pfm")
+        if not os.path.exists(p):
+            pfmio.write_pfm(p, np.full((96, 192), 6.0, np.float32))
+    # eval_bad_x resolves by dataset naming; sceneflow result_name uses
+    # iteration 0 for all -> use kitti-style naming not applicable here, so
+    # just validate the function over a copied layout:
+    out = eval_bad_x(cfg, log=lambda *a, **k: None)
+    assert np.isfinite(out["avg_epe"]) and out["frames"] == 4

@@ -1,0 +1,100 @@
+"""Sharding tests on the virtual 8-device CPU mesh.
+
+The core guarantee (SURVEY.md §4): every sharding — DP, spatial+halo,
+disparity-axis — produces numerically equivalent results to the unsharded
+step. This is how multi-node behaviour is validated without a cluster.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from msnets_tpu.config import (Config, DataConfig, MatchingConfig, ModelConfig,
+                               TrainConfig)
+from msnets_tpu.engine import Trainer
+from msnets_tpu.parallel import mesh as pm
+
+
+def _cfg(batch):
+    return Config(
+        matching=MatchingConfig(board_h=4),
+        model=ModelConfig(name="MS-GCNet", max_disp=32, base_filters=8,
+                          compute_dtype="float32"),
+        train=TrainConfig(crop_height=64, crop_width=128, batch_size=batch,
+                          remat=False),
+        data=DataConfig(),
+    )
+
+
+def _batch(cfg, seed=0):
+    mcfg = cfg.matching
+    rng = np.random.default_rng(seed)
+    bh, bwl = mcfg.board_h, cfg.model.max_disp
+    shape = (cfg.train.batch_size, cfg.train.crop_height + 2 * bh,
+             cfg.train.crop_width + bwl)
+    return (rng.integers(0, 256, shape, dtype=np.uint8),
+            rng.integers(0, 256, shape, dtype=np.uint8),
+            np.full((cfg.train.batch_size, cfg.train.crop_height,
+                     cfg.train.crop_width), 8.0, np.float32))
+
+
+def test_factorize():
+    assert pm.factorize_devices(8) == (2, 2, 2)
+    assert pm.factorize_devices(4) == (2, 2, 1)
+    assert pm.factorize_devices(2) == (2, 1, 1)
+    assert pm.factorize_devices(1) == (1, 1, 1)
+    assert pm.factorize_devices(6) == (6, 1, 1)  # 2 then odd 3 -> data
+
+
+@pytest.mark.slow
+def test_sharded_step_matches_unsharded():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    cfg = _cfg(batch=4)
+    iml, imr, disp = _batch(cfg)
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    # unsharded
+    tr0 = Trainer(cfg)
+    s0 = tr0.init_state(tr0.feats_shape_for(4), seed=0)
+    fn0 = tr0.step_fn(4, 32, 0)
+    s0b, m0, d0 = fn0(s0, jnp.asarray(iml), jnp.asarray(imr),
+                      jnp.asarray(disp), lr)
+
+    # sharded over (2, 2, 2)
+    mesh = pm.make_mesh(devices=jax.devices()[:8])
+    tr1 = Trainer(cfg, mesh=mesh)
+    with mesh:
+        s1 = tr1.init_state(tr1.feats_shape_for(4), seed=0)
+        fn1 = tr1.step_fn(4, 32, 0)
+        s1b, m1, d1 = fn1(s1, jnp.asarray(iml), jnp.asarray(imr),
+                          jnp.asarray(disp), lr)
+
+    for k in m0:
+        assert abs(float(m0[k]) - float(m1[k])) < 1e-4, (k, m0[k], m1[k])
+    # fp32 reduction-order noise through softmax(192-way) amplifies slightly;
+    # observed max |diff| ~7e-3 on a ~16 px disparity (rel ~7e-4)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=2e-2)
+    # post-Adam params are sign(grad)*lr after one step, and the sign of a
+    # near-zero gradient is reduction-order noise — so compare the updated
+    # BatchNorm statistics (smooth means/vars) instead, which must agree.
+    l0 = jax.tree.leaves(s0b.batch_stats)
+    l1 = jax.tree.leaves(s1b.batch_stats)
+    assert l0 and len(l0) == len(l1)
+    for a, b in zip(l0, l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_entry_compiles_single_device():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (1, 256, 512)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_all_sizes():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(2)
