@@ -1,0 +1,165 @@
+"""Benchmark: stereo pairs/sec/chip at 512x256, D=192 (BASELINE.json metric).
+
+Measures the full flagship inference path on one chip — uint8 stereo pair ->
+device MS-feature stage (census/NCC/ZSAD/sadsob + AML at half resolution) ->
+MS-GCNet 3-D regularizer -> disparity — and prints ONE JSON line.
+
+vs_baseline: the reference publishes no throughput (BASELINE.md); the
+comparison point is the measured reference-equivalent CPU pipeline (its
+OpenMP feature stage + torch model), stored in ``baseline_measured.json`` by
+``python bench.py --measure-baseline`` (falls back to 1.0 when absent).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+H, W, D = 256, 512, 192          # BASELINE: 512x256, D=192
+BATCH = 2                        # inference micro-batch per step
+
+
+def build_forward():
+    import jax
+    import jax.numpy as jnp
+    from msnets_tpu.config import MatchingConfig, ModelConfig
+    from msnets_tpu.models import build_model
+    from msnets_tpu.ops.features import ms_features_test
+
+    mcfg = MatchingConfig()
+    model_cfg = ModelConfig(name="MS-GCNet", max_disp=D)
+    model = build_model(model_cfg)
+
+    rng = np.random.default_rng(0)
+    iml = jnp.asarray(rng.integers(0, 256, (BATCH, H, W), dtype=np.uint8))
+    imr = jnp.asarray(rng.integers(0, 256, (BATCH, H, W), dtype=np.uint8))
+
+    feats_shape = (1, D // 2, H // 2, W // 2, 8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(feats_shape, jnp.float32), train=False)
+
+    @jax.jit
+    def fwd(variables, iml, imr):
+        f = jax.vmap(lambda a, b: ms_features_test(a, b, D, mcfg, True))(iml, imr)
+        return model.apply(variables, f, train=False)
+
+    return fwd, variables, iml, imr
+
+
+def run_bench(iters: int = 20, warmup: int = 3):
+    """Time an on-device lax.scan of ``iters`` chained forward passes.
+
+    The remote-TPU relay in this environment has ~30 ms per-dispatch
+    latency, so per-call timing measures the relay, not the chip. One jit
+    call scans the whole loop on device; each iteration's input is XOR-ed
+    with a value derived from the previous output, so XLA can neither elide
+    nor overlap iterations. Latency is amortized and subtracted via a
+    length-1 scan measurement.
+    """
+    import jax
+    import jax.numpy as jnp
+    fwd, variables, iml, imr = build_forward()
+
+    def make_loop(n):
+        @jax.jit
+        def loop(variables, iml, imr):
+            def body(carry, _):
+                a = iml ^ (carry % 2).astype(jnp.uint8)  # real dependency
+                out = fwd(variables, a, imr)
+                return out[0, 0, :8].sum().astype(jnp.int32) % 2, None
+            carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                    None, length=n)
+            return carry
+        return loop
+
+    loop_n = make_loop(iters)
+    loop_1 = make_loop(1)
+
+    def timed(fn):
+        jax.block_until_ready(fn(variables, iml, imr))   # compile
+        best = float("inf")
+        for _ in range(warmup):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(variables, iml, imr))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(loop_1)          # latency + 1 step
+    tn = timed(loop_n)          # latency + n steps
+    per_step = max((tn - t1) / (iters - 1), 1e-9)
+    return BATCH / per_step
+
+
+def measure_baseline():
+    """Reference-equivalent CPU pipeline: NumPy/C++ oracle feature stage
+    (the reference's CPU bottleneck) + torch-CPU 3-D regularizer."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    t_feat = _measure_oracle_features()
+    t_model = _measure_torch_model()
+    pairs_per_sec = 1.0 / (t_feat + t_model)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "baseline_measured.json"), "w") as f:
+        json.dump({"pairs_per_sec_cpu_reference_path": pairs_per_sec,
+                   "feature_sec_per_pair": t_feat,
+                   "model_sec_per_pair": t_model,
+                   "shape": [H, W, D]}, f, indent=2)
+    print(json.dumps({"reference_cpu_pairs_per_sec": pairs_per_sec}))
+
+
+def _measure_oracle_features():
+    from msnets_tpu.ops import oracle_np as onp
+    try:
+        from msnets_tpu.ops import oracle_cpp as ocpp
+        get_costs, feats = ocpp.get_costs, ocpp.extract_features_left
+    except Exception:
+        get_costs, feats = onp.get_costs, onp.extract_features_left
+    rng = np.random.default_rng(0)
+    iml = rng.integers(0, 256, (H // 2, W // 2), dtype=np.uint8)
+    imr = rng.integers(0, 256, (H // 2, W // 2), dtype=np.uint8)
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        costs = get_costs(iml, imr, D // 2, 11, 3, 5, 5, 10, 10, 0)
+        feats(*costs)
+    return (time.perf_counter() - t0) / n
+
+
+def _measure_torch_model():
+    import torch
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from tests.torch_ref import TorchGCNet
+    with torch.no_grad():
+        m = TorchGCNet(max_disp=D, cin=8, F=32).eval()
+        x = torch.rand(1, 8, D // 2, H // 2, W // 2)
+        m(x)  # warm
+        t0 = time.perf_counter()
+        m(x)
+        return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--measure-baseline", action="store_true")
+    args = ap.parse_args()
+    if args.measure_baseline:
+        measure_baseline()
+        return
+    pairs_per_sec = run_bench(args.iters)
+    base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "baseline_measured.json")
+    vs = 1.0
+    if os.path.exists(base_file):
+        with open(base_file) as f:
+            ref = json.load(f)["pairs_per_sec_cpu_reference_path"]
+        vs = pairs_per_sec / ref
+    print(json.dumps({"metric": "stereo_pairs_per_sec_per_chip_512x256_D192",
+                      "value": round(pairs_per_sec, 3), "unit": "pairs/sec",
+                      "vs_baseline": round(vs, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Command-line interface.
+
+Flag-compatible with the reference trainer CLI (reference
+main_msnet.py:803-838) and subsuming its bash driver's task types
+(do_main_msnet.sh:82-87): train, loop-train, test, val-30, cross-val,
+eval-badx. ``loop-train`` keeps the reference's epoch-granular
+restart-resume capability (each epoch resumes the previous epoch's
+checkpoint) without needing a process restart — but since checkpoints are
+written every epoch, an external bash loop works identically.
+
+Extensions beyond the reference: --mesh data,spatial,disp for SPMD layouts,
+--compute_dtype {bfloat16,float32}, --num_hosts/--host_id for multi-host
+input sharding.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from .config import (Config, DataConfig, EvalConfig, MatchingConfig,
+                     MeshConfig, ModelConfig, TrainConfig)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MS-Nets TPU framework")
+    p.add_argument("--crop_height", type=int, default=256)
+    p.add_argument("--crop_width", type=int, default=512)
+    p.add_argument("--max_disp", type=int, default=192)
+    p.add_argument("--resume", type=str, default="")
+    p.add_argument("--batchSize", type=int, default=1)
+    p.add_argument("--log_summary_step", type=int, default=200)
+    p.add_argument("--nEpochs", type=int, default=400)
+    p.add_argument("--startEpoch", type=int, default=0)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--threads", type=int, default=4)
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--kitti2012", type=int, default=0)
+    p.add_argument("--kitti2015", type=int, default=0)
+    p.add_argument("--eth3d", type=int, default=0)
+    p.add_argument("--middlebury", type=int, default=0)
+    p.add_argument("--data_path", type=str, default="")
+    p.add_argument("--training_list", type=str,
+                   default="lists/sceneflow_train.list")
+    p.add_argument("--test_list", type=str,
+                   default="lists/sceneflow_test_select.list")
+    p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
+    p.add_argument("--train_logdir", type=str, default="./logs/tmp")
+    p.add_argument("--model_name", type=str, default="MS-GCNet")
+    p.add_argument("--mode", type=str, default="train",
+                   choices=["train", "loop-train", "test", "val-30",
+                            "cross-val", "eval-badx"])
+    p.add_argument("--resultDir", type=str, default="./results")
+    p.add_argument("--threshold", type=float, default=3.0)
+    p.add_argument("--sf_frames", type=str, default="frames_finalpass")
+    # TPU-native extensions
+    p.add_argument("--mesh", type=str, default="",
+                   help="e.g. '2,2,2' for (data, spatial, disp)")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--num_hosts", type=int, default=1)
+    p.add_argument("--host_id", type=int, default=0)
+    p.add_argument("--no_remat", action="store_true")
+    return p
+
+
+def args_to_config(a) -> Config:
+    seed = a.seed if a.seed > 0 else int(time.time()) % (2 ** 31)
+    return Config(
+        matching=MatchingConfig(sf_frames_type=a.sf_frames),
+        model=ModelConfig(name=a.model_name, max_disp=a.max_disp,
+                          compute_dtype=a.compute_dtype),
+        train=TrainConfig(crop_height=a.crop_height, crop_width=a.crop_width,
+                          batch_size=a.batchSize, lr=a.lr,
+                          epochs=a.nEpochs, start_epoch=a.startEpoch,
+                          seed=seed, num_workers=a.threads,
+                          log_summary_step=a.log_summary_step,
+                          checkpoint_dir=a.checkpoint_dir,
+                          train_logdir=a.train_logdir, resume=a.resume,
+                          remat=not a.no_remat),
+        data=DataConfig(data_path=a.data_path, training_list=a.training_list,
+                        test_list=a.test_list,
+                        kitti2012=bool(a.kitti2012),
+                        kitti2015=bool(a.kitti2015),
+                        eth3d=bool(a.eth3d), middlebury=bool(a.middlebury)),
+        eval=EvalConfig(result_dir=a.resultDir, threshold=a.threshold),
+        mode=a.mode,
+    )
+
+
+def make_mesh_from_arg(mesh_arg: str):
+    if not mesh_arg:
+        return None
+    from .parallel import mesh as pm
+    shape = tuple(int(x) for x in mesh_arg.split(","))
+    assert len(shape) == 3, "--mesh wants data,spatial,disp"
+    import jax
+    return pm.make_mesh(shape=shape, devices=jax.devices()[:int(np.prod(shape))])
+
+
+def run_train(cfg: Config, mesh=None, log=print):
+    from .data.pipeline import TrainPipeline
+    from .engine import Trainer
+    from .engine.checkpoint import ckpt_path
+    from .utils import summary as S
+
+    tr = Trainer(cfg, mesh=mesh)
+    state = tr.init_state(tr.feats_shape_for(cfg.train.batch_size),
+                          seed=cfg.train.seed)
+    if cfg.train.resume and os.path.isfile(cfg.train.resume):
+        log(f"[***] resuming from {cfg.train.resume}")
+        state = tr.resume(state, cfg.train.resume)
+
+    pipe = TrainPipeline(cfg.data, cfg.matching, cfg.train.crop_height,
+                         cfg.train.crop_width, cfg.model.max_disp,
+                         cfg.train.batch_size, seed=cfg.train.seed,
+                         num_threads=cfg.train.num_workers)
+    steps = pipe.steps_per_epoch()
+    writer = None
+    if cfg.train.train_logdir:
+        try:
+            writer = S.TrainSummaryWriter(cfg.train.train_logdir)
+        except Exception as e:  # tensorboardX optional
+            log(f"[warn] no summary writer: {e}")
+    run_log = {"loss": 0.0, "epe": 0.0, "n": 0}
+
+    def log_fn(epoch, iteration, metrics, sec_per_step, state, disp, batch):
+        gstep = (epoch - 1) * steps + iteration
+        log(S.console_line(epoch, iteration, steps, gstep, metrics,
+                           sec_per_step, S.process_mem_mb()))
+        sys.stdout.flush()
+        run_log["loss"] += metrics["loss"]
+        run_log["epe"] += metrics["epe"]
+        run_log["n"] += 1
+        ls = cfg.train.log_summary_step
+        if writer is not None and iteration % ls == ls - 1:
+            n = max(run_log["n"], 1)
+            writer.scalars(gstep, run_log["loss"] / n, run_log["epe"] / n)
+            writer.images(gstep, batch["left_rgb"], batch["right_rgb"],
+                          np.asarray(disp), batch["disp"])
+            run_log.update(loss=0.0, epe=0.0, n=0)
+
+    avg = {}
+    e0, ne = cfg.train.start_epoch, cfg.train.epochs
+    for epoch in range(1 + e0, e0 + ne + 1):
+        log(f"[**] training epoch {epoch}/{e0 + ne}")
+        state, avg = tr.train_epoch(state, pipe, epoch, log_fn=log_fn)
+        log("===> Epoch {} Complete: Avg. Loss: {:.4f}, Avg. EPE: {:.4f}, "
+            "Accu3: {:.4f}".format(epoch, avg["loss"], avg["epe"], avg["accu3"]))
+        tr.maybe_save(state, epoch, avg)
+    tr.maybe_save(state, e0 + ne, avg, final=True)
+    if writer is not None:
+        writer.close()
+    return state
+
+
+def run_loop_train(cfg: Config, mesh=None, log=print):
+    """Epoch-granular restart semantics (do_main_msnet.sh:143-192): each
+    epoch resumes the previous epoch's checkpoint file."""
+    from dataclasses import replace
+    from .engine.checkpoint import ckpt_path
+    e0, ne = cfg.train.start_epoch, cfg.train.epochs
+    resume = cfg.train.resume
+    for epoch in range(e0, e0 + ne):
+        c = replace(cfg, train=replace(cfg.train, start_epoch=epoch,
+                                       epochs=1, resume=resume))
+        run_train(c, mesh=mesh, log=log)
+        resume = ckpt_path(cfg.train.checkpoint_dir, cfg.model.name, epoch + 1)
+
+
+def run_test(cfg: Config, mesh=None, log=print):
+    from .engine import Evaluator, Trainer
+    from .engine.checkpoint import load_checkpoint
+    tr = Trainer(cfg, mesh=None)
+    state = tr.init_state(tr.feats_shape_for(1), seed=0)
+    assert cfg.train.resume, "test mode needs --resume checkpoint"
+    state = tr.resume(state, cfg.train.resume)
+    ev = Evaluator(cfg, {"params": state.params,
+                         "batch_stats": state.batch_stats}, mesh=mesh)
+    return ev.run(log=log)
+
+
+def main(argv=None):
+    a = build_parser().parse_args(argv)
+    cfg = args_to_config(a)
+    mesh = make_mesh_from_arg(a.mesh)
+    print(f"[***] mode={cfg.mode} model={cfg.model.name} "
+          f"dataset={cfg.data.dataset}")
+    if cfg.mode == "train":
+        run_train(cfg, mesh)
+    elif cfg.mode == "loop-train":
+        run_loop_train(cfg, mesh)
+    elif cfg.mode in ("test", "val-30", "cross-val"):
+        run_test(cfg, mesh)
+    elif cfg.mode == "eval-badx":
+        from .engine import eval_bad_x
+        eval_bad_x(cfg)
+    print(f"[***] {cfg.mode} finished")
+
+
+if __name__ == "__main__":
+    main()

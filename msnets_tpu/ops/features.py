@@ -57,13 +57,16 @@ def downsample_half(img: jnp.ndarray) -> jnp.ndarray:
     x = img.astype(jnp.float32) / 255.0
     k = jnp.asarray(_gaussian_kernel1d(), jnp.float32)
     r = (k.shape[0] - 1) // 2
+    hi = jax.lax.Precision.HIGHEST  # keep true fp32 on TPU (uint8 rounding)
     # separable gaussian with zero ('constant') padding
     xp = jnp.pad(x, ((r, r), (0, 0)))
     x = jax.lax.conv_general_dilated(
-        xp[None, None], k.reshape(1, 1, -1, 1), (1, 1), "VALID")[0, 0]
+        xp[None, None], k.reshape(1, 1, -1, 1), (1, 1), "VALID",
+        precision=hi)[0, 0]
     xp = jnp.pad(x, ((0, 0), (r, r)))
     x = jax.lax.conv_general_dilated(
-        xp[None, None], k.reshape(1, 1, 1, -1), (1, 1), "VALID")[0, 0]
+        xp[None, None], k.reshape(1, 1, 1, -1), (1, 1), "VALID",
+        precision=hi)[0, 0]
     # bilinear at source coords 2*o + 0.5 == 2x2 average
     x = (x[0:2 * oh:2, 0:2 * ow:2] + x[0:2 * oh:2, 1:2 * ow:2]
          + x[1:2 * oh:2, 0:2 * ow:2] + x[1:2 * oh:2, 1:2 * ow:2]) * 0.25

@@ -57,7 +57,12 @@ def shifted_over_disp(x: jnp.ndarray, ndisp: int, fill=0.0) -> jnp.ndarray:
 
 
 def _box_valid(x: jnp.ndarray, w: int) -> jnp.ndarray:
-    """Separable VALID box sum over leading two axes of [H, W, ...]."""
+    """Separable VALID box sum over leading two axes of [H, W, ...].
+
+    precision=HIGHEST is load-bearing: TPU fp32 convs default to bf16
+    multiplies, which would destroy the integer-exact moment arithmetic the
+    NCC/ZSAD formulations rely on (values < 2^24 are exact in fp32 only).
+    """
     k = jnp.ones((w,), x.dtype)
     # cumulative-free separable sums via convolution on each axis
     def conv_axis(a, axis):
@@ -66,7 +71,8 @@ def _box_valid(x: jnp.ndarray, w: int) -> jnp.ndarray:
         a2 = a.reshape(-1, 1, shp[-1])
         out = jax.lax.conv_general_dilated(
             a2, k.reshape(1, 1, w), window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"))
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)
         return jnp.moveaxis(out.reshape(shp[:-1] + (shp[-1] - w + 1,)), -1, axis)
     return conv_axis(conv_axis(x, 0), 1)
 
@@ -152,7 +158,9 @@ def sobel(img: jnp.ndarray) -> jnp.ndarray:
     H, W = img.shape
     k = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
     x = img.astype(jnp.float32)[None, None]
-    v = jax.lax.conv_general_dilated(x, k[None, None], (1, 1), "VALID")[0, 0]
+    v = jax.lax.conv_general_dilated(
+        x, k[None, None], (1, 1), "VALID",
+        precision=jax.lax.Precision.HIGHEST)[0, 0]
     v = v[: H - 3, : W - 3]
     out = jnp.zeros((H, W), jnp.float32)
     return out.at[1:H - 2, 1:W - 2].set(v)
