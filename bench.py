@@ -78,17 +78,23 @@ def run_bench(iters: int = 20, warmup: int = 3):
     loop_1 = make_loop(1)
 
     def timed(fn):
-        jax.block_until_ready(fn(variables, iml, imr))   # compile
+        # NOTE: fetch the scalar VALUE, not block_until_ready — the remote
+        # relay backend reports buffers ready before execution finishes, so
+        # only a device->host transfer actually synchronizes.
+        int(fn(variables, iml, imr))                     # compile + sync
         best = float("inf")
         for _ in range(warmup):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(variables, iml, imr))
+            int(fn(variables, iml, imr))
             best = min(best, time.perf_counter() - t0)
         return best
 
     t1 = timed(loop_1)          # latency + 1 step
     tn = timed(loop_n)          # latency + n steps
     per_step = max((tn - t1) / (iters - 1), 1e-9)
+    if os.environ.get("BENCH_DEBUG"):
+        print(f"[bench] t1={t1*1e3:.1f}ms t{iters}={tn*1e3:.1f}ms "
+              f"per_step={per_step*1e3:.3f}ms", file=sys.stderr)
     return BATCH / per_step
 
 

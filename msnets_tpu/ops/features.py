@@ -55,18 +55,20 @@ def downsample_half(img: jnp.ndarray) -> jnp.ndarray:
     oh = int(np.round(H * 0.5)) if H % 2 else H // 2
     ow = int(np.round(W * 0.5)) if W % 2 else W // 2
     x = img.astype(jnp.float32) / 255.0
-    k = jnp.asarray(_gaussian_kernel1d(), jnp.float32)
-    r = (k.shape[0] - 1) // 2
-    hi = jax.lax.Precision.HIGHEST  # keep true fp32 on TPU (uint8 rounding)
-    # separable gaussian with zero ('constant') padding
-    xp = jnp.pad(x, ((r, r), (0, 0)))
-    x = jax.lax.conv_general_dilated(
-        xp[None, None], k.reshape(1, 1, -1, 1), (1, 1), "VALID",
-        precision=hi)[0, 0]
-    xp = jnp.pad(x, ((0, 0), (r, r)))
-    x = jax.lax.conv_general_dilated(
-        xp[None, None], k.reshape(1, 1, 1, -1), (1, 1), "VALID",
-        precision=hi)[0, 0]
+    kern = _gaussian_kernel1d()
+    r = (len(kern) - 1) // 2
+    # separable gaussian as shift-multiply-adds (pure VPU, exact fp32;
+    # a conv would run through the MXU at bf16 precision on TPU and
+    # perturb the uint8 rounding), zero ('constant') padding
+    def gauss_axis(a, axis):
+        ap = jnp.pad(a, [(r, r) if i == axis else (0, 0) for i in range(2)])
+        n = a.shape[axis]
+        acc = None
+        for i, kv in enumerate(kern):
+            sl = jax.lax.slice_in_dim(ap, i, i + n, axis=axis)
+            acc = sl * np.float32(kv) if acc is None else acc + sl * np.float32(kv)
+        return acc
+    x = gauss_axis(gauss_axis(x, 0), 1)
     # bilinear at source coords 2*o + 0.5 == 2x2 average
     x = (x[0:2 * oh:2, 0:2 * ow:2] + x[0:2 * oh:2, 1:2 * ow:2]
          + x[1:2 * oh:2, 0:2 * ow:2] + x[1:2 * oh:2, 1:2 * ow:2]) * 0.25

@@ -59,22 +59,18 @@ def shifted_over_disp(x: jnp.ndarray, ndisp: int, fill=0.0) -> jnp.ndarray:
 def _box_valid(x: jnp.ndarray, w: int) -> jnp.ndarray:
     """Separable VALID box sum over leading two axes of [H, W, ...].
 
-    precision=HIGHEST is load-bearing: TPU fp32 convs default to bf16
-    multiplies, which would destroy the integer-exact moment arithmetic the
-    NCC/ZSAD formulations rely on (values < 2^24 are exact in fp32 only).
+    Implemented as w-1 shift-adds per axis (pure VPU, exact fp32 adds) —
+    NOT as a convolution: TPU fp32 convs default to bf16 MXU multiplies,
+    which would destroy the integer-exact moment arithmetic the NCC/ZSAD
+    formulations rely on, and a ones-kernel conv wastes the MXU anyway.
     """
-    k = jnp.ones((w,), x.dtype)
-    # cumulative-free separable sums via convolution on each axis
-    def conv_axis(a, axis):
-        a = jnp.moveaxis(a, axis, -1)
-        shp = a.shape
-        a2 = a.reshape(-1, 1, shp[-1])
-        out = jax.lax.conv_general_dilated(
-            a2, k.reshape(1, 1, w), window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST)
-        return jnp.moveaxis(out.reshape(shp[:-1] + (shp[-1] - w + 1,)), -1, axis)
-    return conv_axis(conv_axis(x, 0), 1)
+    def sum_axis(a, axis):
+        out = jax.lax.slice_in_dim(a, 0, a.shape[axis] - w + 1, axis=axis)
+        for i in range(1, w):
+            out = out + jax.lax.slice_in_dim(a, i, a.shape[axis] - w + 1 + i,
+                                             axis=axis)
+        return out
+    return sum_axis(sum_axis(x, 0), 1)
 
 
 def _centre_pad(v: jnp.ndarray, H: int, W: int, wc: int) -> jnp.ndarray:
@@ -156,11 +152,11 @@ def sobel(img: jnp.ndarray) -> jnp.ndarray:
     """3x3 horizontal Sobel, float32, zero border; drops last valid row/col
     exactly like the reference (matchers.cpp:538-548)."""
     H, W = img.shape
-    k = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
-    x = img.astype(jnp.float32)[None, None]
-    v = jax.lax.conv_general_dilated(
-        x, k[None, None], (1, 1), "VALID",
-        precision=jax.lax.Precision.HIGHEST)[0, 0]
+    x = img.astype(jnp.float32)
+    # shift-add cross-correlation with [[-1,0,1],[-2,0,2],[-1,0,1]] (VPU only)
+    col = lambda r, c: x[r:H - 2 + r, c:W - 2 + c]
+    v = (-col(0, 0) + col(0, 2) - 2.0 * col(1, 0) + 2.0 * col(1, 2)
+         - col(2, 0) + col(2, 2))
     v = v[: H - 3, : W - 3]
     out = jnp.zeros((H, W), jnp.float32)
     return out.at[1:H - 2, 1:W - 2].set(v)
