@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resultDir", type=str, default="./results")
     p.add_argument("--threshold", type=float, default=3.0)
     p.add_argument("--sf_frames", type=str, default="frames_finalpass")
+    p.add_argument("--cbmv_F", type=int, default=8, choices=[8, 16],
+                   help="8 = left-only features, 16 = left+right")
     # TPU-native extensions
     p.add_argument("--mesh", type=str, default="",
                    help="e.g. '2,2,2' for (data, spatial, disp)")
@@ -70,8 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
 def args_to_config(a) -> Config:
     seed = a.seed if a.seed > 0 else int(time.time()) % (2 ** 31)
     return Config(
-        matching=MatchingConfig(sf_frames_type=a.sf_frames),
+        matching=MatchingConfig(sf_frames_type=a.sf_frames,
+                                num_channels=a.cbmv_F),
         model=ModelConfig(name=a.model_name, max_disp=a.max_disp,
+                          in_channels=a.cbmv_F,
                           compute_dtype=a.compute_dtype),
         train=TrainConfig(crop_height=a.crop_height, crop_width=a.crop_width,
                           batch_size=a.batchSize, lr=a.lr,

@@ -55,13 +55,18 @@ class Evaluator:
             mcfg = self.cfg.matching
             max_disp = self.cfg.model.max_disp
             model = self.model
+            mesh = self.mesh
 
-            @jax.jit
             def fwd(variables, a, b):
                 f = ms_features_test(a, b, max_disp, mcfg, mcfg.left_only)
-                return model.apply(variables, f[None], train=False)
+                f = f[None]
+                if mesh is not None:
+                    from ..parallel import mesh as pm
+                    f = jax.lax.with_sharding_constraint(
+                        f, pm.shard(mesh, pm.VOLUME))
+                return model.apply(variables, f, train=False)
 
-            self._fwd_cache[shape] = fwd
+            self._fwd_cache[shape] = jax.jit(fwd)
         out = self._fwd_cache[shape](self.variables, jnp.asarray(iml),
                                      jnp.asarray(imr))
         return np.asarray(out)

@@ -23,7 +23,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Conv3DBlock, ConvBN3D, Deconv3D, DeconvBN3D, soft_argmin
+from .layers import (Conv3DBlock, ConvBN3D, Deconv3D, DeconvBN3D,
+                     SubpixelSoftArgminHead, soft_argmin)
 
 
 class MSGCNet(nn.Module):
@@ -62,8 +63,9 @@ class MSGCNet(nn.Module):
         x = nn.relu(DeconvBN3D(F, dtype=dt, name="deconvbn4")(x, train) + res_l20)
 
         # reference deconv5 is a bare nn.ConvTranspose3d (default bias=True)
+        # + softmax + soft-argmin; fused into the subpixel head (layers.py)
         stride = 4 if self.quarter_input else 2
-        x = Deconv3D(1, stride=stride, use_bias=True, dtype=dt,
-                     name="deconv5")(x)                              # [N,D,H,W,1]
-        logits = jnp.squeeze(x, axis=-1)                             # [N,D,H,W]
-        return soft_argmin(logits, self.max_disp)
+        assert x.shape[1] * stride == self.max_disp, \
+            f"{x.shape[1] * stride} != {self.max_disp}"
+        return SubpixelSoftArgminHead(stride=stride, dtype=dt,
+                                      name="deconv5")(x)

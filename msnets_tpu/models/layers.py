@@ -38,6 +38,65 @@ def he_normal_msnets(kernel_spatial: int = 3):
     return init
 
 
+def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                 pad: int, dtype, decompose: bool = True) -> jnp.ndarray:
+    """3-D convolution, NDHWC x DHWIO.
+
+    ``decompose=True`` (default) lowers to kd batched 2-D convolutions over
+    (N*D_out, H, W) summed along the kernel's depth taps — measured ~2.4x
+    faster than XLA's native conv3d lowering on TPU v5e (the 2-D convs map
+    cleanly onto the MXU; see scripts/perf_conv3d.py). Bit-identical math up
+    to fp32 partial-sum reassociation.
+    """
+    kd, kh, kw, cin, cout = kernel.shape
+    if not decompose:
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype), (stride,) * 3,
+            [(pad, pad)] * 3, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+    N, D, H, W, _ = x.shape
+    x = x.astype(dtype)
+    kernel = kernel.astype(dtype)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    d_out = (D + 2 * pad - kd) // stride + 1
+    h_out = (H + 2 * pad - kh) // stride + 1
+    w_out = (W + 2 * pad - kw) // stride + 1
+    out = None
+    for dz in range(kd):
+        sl = jax.lax.slice_in_dim(xp, dz, dz + stride * (d_out - 1) + 1,
+                                  stride=stride, axis=1)
+        s2 = sl.reshape(N * d_out, H, W, cin)
+        dn = jax.lax.conv_dimension_numbers(s2.shape, kernel.shape[1:],
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            s2, kernel[dz], (stride, stride), [(pad, pad)] * 2,
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        out = y if out is None else out + y
+    return out.reshape(N, d_out, h_out, w_out, cout)
+
+
+class Conv3D(nn.Module):
+    """Bare 3-D conv (no bias), param path ``<name>/kernel``."""
+    features: int
+    stride: int = 1
+    kernel: int = 3
+    dtype: Any = jnp.float32
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.kernel // 2
+        kernel = self.param("kernel", he_normal_msnets(self.kernel),
+                            (self.kernel, self.kernel, self.kernel,
+                             x.shape[-1], self.features))
+        y = conv3d_ndhwc(x, kernel, self.stride, p, self.dtype)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
 class ConvBN3D(nn.Module):
     """conv3d (no bias) + BatchNorm (reference convbn_3d, gcnet_3dcnn.py:20-22)."""
     features: int
@@ -47,45 +106,111 @@ class ConvBN3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        p = self.kernel // 2
-        x = nn.Conv(self.features, (self.kernel,) * 3,
-                    strides=(self.stride,) * 3,
-                    padding=[(p, p)] * 3,
-                    use_bias=False,
-                    kernel_init=he_normal_msnets(self.kernel),
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv")(x)
+        x = Conv3D(self.features, self.stride, self.kernel, self.dtype,
+                   name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="bn")(x.astype(jnp.float32))
         return x.astype(self.dtype)
 
 
+def _deconv_phase_taps(stride: int):
+    """Per-output-phase kernel taps for ConvTranspose(k=3, p=1, op=s-1).
+
+    With our pre-flipped kernel storage, y[s*m + r] = sum over (kd, off) in
+    taps[r] of K[kd] @ x[m + off]. Derivation: correlation over the
+    s-dilated, (1, s)-padded input; kd contributes to phase r iff
+    (r + kd - 1) % s == 0, with off = (r + kd - 1) // s.
+    """
+    taps = []
+    for r in range(stride):
+        t = []
+        for kd in range(3):
+            if (r + kd - 1) % stride == 0:
+                t.append((kd, (r + kd - 1) // stride))
+        taps.append(t)
+    return taps
+
+
+def deconv3d_subpixel(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                      dtype) -> jnp.ndarray:
+    """ConvTranspose3d(k=3, stride, padding=1, output_padding=stride-1)
+    via subpixel phase decomposition.
+
+    XLA's lhs_dilation lowering computes the transposed conv densely
+    (stride^3-fold wasted MXU work); here each of the stride^3 output phases
+    is a tiny stride-1 conv of the input with a kernel sub-block, then the
+    phases are interleaved with a reshape. Measured ~8x fewer FLOPs at
+    stride 2 (scripts/perf_conv3d.py).
+    """
+    N, D, H, W, cin = x.shape
+    cout = kernel.shape[-1]
+    s = stride
+    x = x.astype(dtype)
+    kernel = kernel.astype(dtype)
+    taps = _deconv_phase_taps(s)
+    # pad +1 at the far end of every spatial dim (off can be +1)
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
+
+    def phase(pz, ph, pw):
+        acc = None
+        for kz, oz in taps[pz]:
+            for ky, oy in taps[ph]:
+                for kx, ox in taps[pw]:
+                    sl = jax.lax.dynamic_slice(
+                        xp, (0, oz, oy, ox, 0), (N, D, H, W, cin))
+                    k2 = kernel[kz, ky, kx]              # [cin, cout]
+                    y = jax.lax.dot_general(
+                        sl, k2, (((4,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = y if acc is None else acc + y
+        if acc is None:
+            acc = jnp.zeros((N, D, H, W, cout), jnp.float32)
+        return acc
+
+    phases = jnp.stack([
+        jnp.stack([
+            jnp.stack([phase(pz, ph, pw) for pw in range(s)], axis=3)
+            for ph in range(s)], axis=2)
+        for pz in range(s)], axis=1)
+    # phases: [N, s, D, s, H, s, W, cout] -> interleave
+    y = jnp.transpose(phases, (0, 2, 1, 4, 3, 6, 5, 7))
+    return y.reshape(N, s * D, s * H, s * W, cout)
+
+
 class Deconv3D(nn.Module):
-    """ConvTranspose3d(k, stride, padding=1, output_padding=stride-1) as an
-    input-dilated conv. Doubles (stride 2) or quadruples (stride 4) dims."""
+    """ConvTranspose3d(k, stride, padding=1, output_padding=stride-1).
+    Doubles (stride 2) or quadruples (stride 4) every spatial dim."""
     features: int
     stride: int = 2
     kernel: int = 3
     use_bias: bool = False
     dtype: Any = jnp.float32
+    # XLA's dense lhs_dilation lowering measured FASTER than the subpixel
+    # decomposition for the mid-size BN'd deconvs (7.2 vs 11.9 ms at
+    # [48,64,128]x64->64); subpixel only pays off for the final 1-channel
+    # head, which uses SubpixelSoftArgminHead instead.
+    decompose: bool = False
 
     @nn.compact
     def __call__(self, x):
         k, s = self.kernel, self.stride
-        pad_lo = k - 2          # k-1-padding, padding=1
-        pad_hi = k - 2 + (s - 1)  # + output_padding = stride-1
         kernel = self.param("kernel", he_normal_msnets(k),
                             (k, k, k, x.shape[-1], self.features))
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(1, 1, 1),
-            padding=[(pad_lo, pad_hi)] * 3,
-            lhs_dilation=(s, s, s),
-            dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
+        if self.decompose and k == 3:
+            y = deconv3d_subpixel(x, kernel, s, self.dtype)
+        else:
+            pad_lo = k - 2            # k-1-padding, padding=1
+            pad_hi = k - 2 + (s - 1)  # + output_padding = stride-1
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(1, 1, 1),
+                padding=[(pad_lo, pad_hi)] * 3,
+                lhs_dilation=(s, s, s),
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b
@@ -155,6 +280,79 @@ def resize_trilinear_align_corners(x: jnp.ndarray,
     for ax, o in zip(axes, out_dhw):
         x = _linear_resize_axis(x, ax, o)
     return x
+
+
+class SubpixelSoftArgminHead(nn.Module):
+    """Fused deconv5 + softmax + soft-argmin for MS-GCNet.
+
+    The final ConvTranspose3d(F -> 1, stride 2) produces a full-resolution
+    [2D, 2H, 2W] logit volume that is consumed only by softmax over D and the
+    disparity expectation. Interleaving the subpixel phases into that volume
+    is pure data movement (the dense XLA deconv spent ~29 ms on it at bench
+    shapes); instead this head computes, per output spatial phase (ph, pw),
+    the softmax statistics directly over the two depth phases:
+
+        disp = (sum_pz sum_m (2m+pz) * exp(L_pz[m] - gmax)) /
+               (sum_pz sum_m             exp(L_pz[m] - gmax))
+
+    and only interleaves the four final [H, W] disparity maps. Parameters
+    are exactly Deconv3D's (kernel [3,3,3,F,1] pre-flipped + bias), so the
+    checkpoint converter path 'deconv5' is unchanged. The bias shifts every
+    logit equally and cancels in the softmax; it is accepted but unused.
+    Numerics match deconv5+softmax+soft-argmin to fp-reassociation level
+    (validated against the torch twin in tests/test_models.py).
+    """
+    stride: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        N, D, H, W, cin = x.shape
+        s = self.stride
+        kernel = self.param("kernel", he_normal_msnets(3), (3, 3, 3, cin, 1))
+        self.param("bias", nn.initializers.zeros, (1,))  # parity; cancels
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        taps = _deconv_phase_taps(s)
+        xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
+
+        def phase_logits(pz, ph, pw):
+            acc = None
+            for kz, oz in taps[pz]:
+                for ky, oy in taps[ph]:
+                    for kx, ox in taps[pw]:
+                        sl = jax.lax.dynamic_slice(
+                            xp, (0, oz, oy, ox, 0), (N, D, H, W, cin))
+                        y = jax.lax.dot_general(
+                            sl, kernel[kz, ky, kx], (((4,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        acc = y[..., 0] if acc is None else acc + y[..., 0]
+            if acc is None:
+                acc = jnp.zeros((N, D, H, W), jnp.float32)
+            return acc                                   # [N, D, H, W] f32
+
+        d_idx = [jnp.arange(D, dtype=jnp.float32) * s + pz for pz in range(s)]
+        disp_phases = []
+        for ph in range(s):
+            row = []
+            for pw in range(s):
+                ls = [phase_logits(pz, ph, pw) for pz in range(s)]
+                gmax = ls[0].max(axis=1)
+                for l in ls[1:]:
+                    gmax = jnp.maximum(gmax, l.max(axis=1))
+                num = jnp.zeros_like(gmax)
+                den = jnp.zeros_like(gmax)
+                for pz, l in enumerate(ls):
+                    e = jnp.exp(l - gmax[:, None])
+                    den = den + e.sum(axis=1)
+                    num = num + jnp.einsum("ndhw,d->nhw", e, d_idx[pz])
+                row.append(num / den)                    # [N, H, W]
+            disp_phases.append(row)
+        # interleave the s*s small disparity maps -> [N, s*H, s*W]
+        grid = jnp.stack([jnp.stack(r, axis=0) for r in disp_phases], axis=0)
+        # grid: [ph, pw, N, H, W] -> [N, H, ph, W, pw]
+        grid = jnp.transpose(grid, (2, 3, 0, 4, 1))
+        return grid.reshape(N, s * H, s * W)
 
 
 def soft_argmin(logits_ndhw: jnp.ndarray, max_disp: int) -> jnp.ndarray:

@@ -67,12 +67,9 @@ class _Classifier(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from .layers import he_normal_msnets
+        from .layers import Conv3D
         x = nn.relu(ConvBN3D(32, 1, dtype=self.dtype, name="convbn")(x, train))
-        x = nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
-                    kernel_init=he_normal_msnets(3), dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv")(x)
-        return x
+        return Conv3D(1, 1, 3, self.dtype, name="conv")(x)
 
 
 class MSPSMNet(nn.Module):

@@ -65,7 +65,9 @@ def _census_kernel(dl_ref, dr_ref, out_ref, *, ndisp: int, nwords: int):
                 shifted = jnp.pad(dr_k[:, : W - d], ((0, 0), (d, 0)))
             else:
                 shifted = jnp.zeros_like(dr_k)
-            ham = jax.lax.population_count(dl_k ^ shifted).astype(jnp.float32)
+            # Mosaic can't cast uint32 -> float32 directly; go via int32
+            ham = jax.lax.population_count(dl_k ^ shifted).astype(
+                jnp.int32).astype(jnp.float32)
             if k == 0:
                 out_ref[d] = ham
             else:
