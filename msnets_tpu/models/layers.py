@@ -42,13 +42,17 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                  pad: int, dtype, decompose: bool = True) -> jnp.ndarray:
     """3-D convolution, NDHWC x DHWIO.
 
-    ``decompose=True`` (default) lowers to kd batched 2-D convolutions over
-    (N*D_out, H, W) summed along the kernel's depth taps — measured ~2.4x
-    faster than XLA's native conv3d lowering on TPU v5e (the 2-D convs map
-    cleanly onto the MXU; see scripts/perf_conv3d.py). Bit-identical math up
-    to fp32 partial-sum reassociation.
+    ``decompose=True`` (default) lowers *stride-1* convs to kd batched 2-D
+    convolutions over (N*D, H, W) summed along the kernel's depth taps —
+    measured ~1.5-2.4x faster than XLA's native conv3d lowering on TPU v5e
+    (scripts/perf_conv3d.py, perf_block1.py). Strided convs stay on the
+    native lowering: the strided slices make the decomposition ~3.5x SLOWER
+    (22.9 vs 6.4 ms for the stride-2 32->64 block conv). Bit-identical math
+    up to fp32 partial-sum reassociation.
     """
     kd, kh, kw, cin, cout = kernel.shape
+    if stride != 1:
+        decompose = False
     if not decompose:
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                             ("NDHWC", "DHWIO", "NDHWC"))
@@ -178,6 +182,42 @@ def deconv3d_subpixel(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     return y.reshape(N, s * D, s * H, s * W, cout)
 
 
+def deconv3d_conv_shuffle(x: jnp.ndarray, kernel: jnp.ndarray,
+                          dtype) -> jnp.ndarray:
+    """ConvTranspose3d(k=3, s=2, p=1, op=1) as ONE k=2^3 conv + pixel shuffle.
+
+    Every output phase's taps live inside a 2x2x2 input window, so the 8
+    phase outputs pack into a single conv with 8*cout output channels
+    (contraction 8*cin — MXU-friendly), followed by a depth-to-space
+    interleave. Does the transposed conv's sparse FLOPs exactly once,
+    unlike XLA's dense lhs_dilation lowering (stride^3-fold waste).
+    """
+    N, D, H, W, cin = x.shape
+    cout = kernel.shape[-1]
+    taps = _deconv_phase_taps(2)          # per-dim (kd, off) pairs
+    # K2[oz, oy, ox, ci, phase*cout + co]
+    k2 = jnp.zeros((2, 2, 2, cin, 8 * cout), kernel.dtype)
+    for pz in range(2):
+        for ph in range(2):
+            for pw in range(2):
+                phase = (pz * 2 + ph) * 2 + pw
+                for kz, oz in taps[pz]:
+                    for ky, oy in taps[ph]:
+                        for kx, ox in taps[pw]:
+                            k2 = k2.at[oz, oy, ox, :,
+                                       phase * cout:(phase + 1) * cout].set(
+                                kernel[kz, ky, kx])
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, k2.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), k2.astype(dtype), (1, 1, 1),
+        [(0, 1)] * 3, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)          # [N, D, H, W, 8*cout]
+    y = y.reshape(N, D, H, W, 2, 2, 2, cout)
+    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
+    return y.reshape(N, 2 * D, 2 * H, 2 * W, cout)
+
+
 class Deconv3D(nn.Module):
     """ConvTranspose3d(k, stride, padding=1, output_padding=stride-1).
     Doubles (stride 2) or quadruples (stride 4) every spatial dim."""
@@ -186,18 +226,21 @@ class Deconv3D(nn.Module):
     kernel: int = 3
     use_bias: bool = False
     dtype: Any = jnp.float32
-    # XLA's dense lhs_dilation lowering measured FASTER than the subpixel
-    # decomposition for the mid-size BN'd deconvs (7.2 vs 11.9 ms at
-    # [48,64,128]x64->64); subpixel only pays off for the final 1-channel
-    # head, which uses SubpixelSoftArgminHead instead.
-    decompose: bool = False
+    # "dense" (default): XLA lhs_dilation lowering — fastest end-to-end
+    # measured for the BN'd mid deconvs (32.4 ms full fwd vs 36.6 with
+    # conv_shuffle, whose depth-to-space transpose dominates at the large
+    # deconvbn4 output). "conv_shuffle": one packed k=2^3 conv + pixel
+    # shuffle (sparse FLOPs). "subpixel": per-phase pointwise dots.
+    mode: str = "dense"
 
     @nn.compact
     def __call__(self, x):
         k, s = self.kernel, self.stride
         kernel = self.param("kernel", he_normal_msnets(k),
                             (k, k, k, x.shape[-1], self.features))
-        if self.decompose and k == 3:
+        if self.mode == "conv_shuffle" and k == 3 and s == 2:
+            y = deconv3d_conv_shuffle(x, kernel, self.dtype)
+        elif self.mode == "subpixel" and k == 3:
             y = deconv3d_subpixel(x, kernel, s, self.dtype)
         else:
             pad_lo = k - 2            # k-1-padding, padding=1
@@ -312,21 +355,24 @@ class SubpixelSoftArgminHead(nn.Module):
         kernel = self.param("kernel", he_normal_msnets(3), (3, 3, 3, cin, 1))
         self.param("bias", nn.initializers.zeros, (1,))  # parity; cancels
         x = x.astype(self.dtype)
-        kernel = kernel.astype(self.dtype)
         taps = _deconv_phase_taps(s)
-        xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
+        # One GEMM projects all 27 kernel taps at once (27 separate M=1
+        # GEMMs would re-read x 27 times); phases then combine shifted
+        # slices of the tap tensor T.
+        k_all = kernel.reshape(27, cin).T.astype(self.dtype)   # [cin, 27]
+        T = jax.lax.dot_general(x, k_all, (((4,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        T = jnp.pad(T, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
 
         def phase_logits(pz, ph, pw):
             acc = None
             for kz, oz in taps[pz]:
                 for ky, oy in taps[ph]:
                     for kx, ox in taps[pw]:
+                        tap = (kz * 3 + ky) * 3 + kx
                         sl = jax.lax.dynamic_slice(
-                            xp, (0, oz, oy, ox, 0), (N, D, H, W, cin))
-                        y = jax.lax.dot_general(
-                            sl, kernel[kz, ky, kx], (((4,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        acc = y[..., 0] if acc is None else acc + y[..., 0]
+                            T, (0, oz, oy, ox, tap), (N, D, H, W, 1))[..., 0]
+                        acc = sl if acc is None else acc + sl
             if acc is None:
                 acc = jnp.zeros((N, D, H, W), jnp.float32)
             return acc                                   # [N, D, H, W] f32
