@@ -58,8 +58,7 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                                             ("NDHWC", "DHWIO", "NDHWC"))
         return jax.lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype), (stride,) * 3,
-            [(pad, pad)] * 3, dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
+            [(pad, pad)] * 3, dimension_numbers=dn)
     N, D, H, W, _ = x.shape
     x = x.astype(dtype)
     kernel = kernel.astype(dtype)
@@ -74,9 +73,12 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
         s2 = sl.reshape(N * d_out, H, W, cin)
         dn = jax.lax.conv_dimension_numbers(s2.shape, kernel.shape[1:],
                                             ("NHWC", "HWIO", "NHWC"))
+        # same-dtype in/out: a float32 preferred_element_type on bf16
+        # operands breaks the conv transpose (autodiff) rule with a dtype
+        # mismatch; the MXU accumulates in f32 internally regardless
         y = jax.lax.conv_general_dilated(
             s2, kernel[dz], (stride, stride), [(pad, pad)] * 2,
-            dimension_numbers=dn, preferred_element_type=jnp.float32)
+            dimension_numbers=dn)
         out = y if out is None else out + y
     return out.reshape(N, d_out, h_out, w_out, cout)
 
@@ -165,8 +167,8 @@ def deconv3d_subpixel(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                         xp, (0, oz, oy, ox, 0), (N, D, H, W, cin))
                     k2 = kernel[kz, ky, kx]              # [cin, cout]
                     y = jax.lax.dot_general(
-                        sl, k2, (((4,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                        sl.astype(jnp.float32), k2.astype(jnp.float32),
+                        (((4,), (0,)), ((), ())))
                     acc = y if acc is None else acc + y
         if acc is None:
             acc = jnp.zeros((N, D, H, W, cout), jnp.float32)
@@ -211,8 +213,7 @@ def deconv3d_conv_shuffle(x: jnp.ndarray, kernel: jnp.ndarray,
         x.shape, k2.shape, ("NDHWC", "DHWIO", "NDHWC"))
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), k2.astype(dtype), (1, 1, 1),
-        [(0, 1)] * 3, dimension_numbers=dn,
-        preferred_element_type=jnp.float32)          # [N, D, H, W, 8*cout]
+        [(0, 1)] * 3, dimension_numbers=dn)          # [N, D, H, W, 8*cout]
     y = y.reshape(N, D, H, W, 2, 2, 2, cout)
     y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
     return y.reshape(N, 2 * D, 2 * H, 2 * W, cout)
@@ -252,8 +253,7 @@ class Deconv3D(nn.Module):
                 window_strides=(1, 1, 1),
                 padding=[(pad_lo, pad_hi)] * 3,
                 lhs_dilation=(s, s, s),
-                dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
+                dimension_numbers=dn)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b
@@ -359,9 +359,9 @@ class SubpixelSoftArgminHead(nn.Module):
         # One GEMM projects all 27 kernel taps at once (27 separate M=1
         # GEMMs would re-read x 27 times); phases then combine shifted
         # slices of the tap tensor T.
-        k_all = kernel.reshape(27, cin).T.astype(self.dtype)   # [cin, 27]
-        T = jax.lax.dot_general(x, k_all, (((4,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        k_all = kernel.reshape(27, cin).T.astype(jnp.float32)  # [cin, 27]
+        T = jax.lax.dot_general(x.astype(jnp.float32), k_all,
+                                (((4,), (0,)), ((), ())))
         T = jnp.pad(T, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
 
         def phase_logits(pz, ph, pw):

@@ -123,3 +123,27 @@ def test_eval_badx_rescores_saved_pfms(cfg, trained):
     # just validate the function over a copied layout:
     out = eval_bad_x(cfg, log=lambda *a, **k: None)
     assert np.isfinite(out["avg_epe"]) and out["frames"] == 4
+
+
+def test_resume_from_reference_torch_tar(cfg, tmp_path):
+    """Import a reference-style torch .tar (DataParallel 'module.' prefix +
+    save envelope) into the trainer (main_msnet.py:199-207 semantics)."""
+    torch = pytest.importorskip("torch")
+    from .torch_ref import TorchGCNet
+    tm = TorchGCNet(max_disp=cfg.model.max_disp, cin=8,
+                    F=cfg.model.base_filters)
+    sd = {"module." + k: v for k, v in tm.state_dict().items()}
+    tar = str(tmp_path / "model_epoch_00010.tar")
+    torch.save({"epoch": 10, "state_dict": sd, "optimizer": {},
+                "loss": 1.0, "epe_err": 2.0, "accu3": 0.9}, tar)
+
+    tr = Trainer(cfg)
+    state = tr.init_state(tr.feats_shape_for(1))
+    restored = tr.resume(state, tar)
+    got = np.asarray(restored.params["conv3dbn_1"]["conv"]["kernel"])
+    want = tm.state_dict()["conv3dbn_1.0.weight"].numpy().transpose(2, 3, 4, 1, 0)
+    np.testing.assert_allclose(got, want, atol=1e-7)
+    # batch stats restored too
+    bs = np.asarray(restored.batch_stats["conv3dbn_1"]["bn"]["mean"])
+    np.testing.assert_allclose(
+        bs, tm.state_dict()["conv3dbn_1.1.running_mean"].numpy(), atol=1e-7)
