@@ -58,13 +58,14 @@ class Evaluator:
             mesh = self.mesh
 
             def fwd(variables, a, b):
+                from ..parallel import mesh as pm
                 f = ms_features_test(a, b, max_disp, mcfg, mcfg.left_only)
                 f = f[None]
                 if mesh is not None:
-                    from ..parallel import mesh as pm
                     f = jax.lax.with_sharding_constraint(
                         f, pm.shard(mesh, pm.VOLUME))
-                return model.apply(variables, f, train=False)
+                with pm.active_mesh(mesh):
+                    return model.apply(variables, f, train=False)
 
             self._fwd_cache[shape] = jax.jit(fwd)
         out = self._fwd_cache[shape](self.variables, jnp.asarray(iml),

@@ -93,12 +93,13 @@ class Trainer:
 
         mesh = self.mesh
 
+        from ..parallel import mesh as pm
+
         def step(state: TrainState, iml, imr, target, lr):
             feats = jax.vmap(lambda a, b: ms_features_train(
                 a, b, max_disp, mcfg, board_h, bwl, bwr,
                 mcfg.left_only))(iml, imr)
             if mesh is not None:
-                from ..parallel import mesh as pm
                 feats = jax.lax.with_sharding_constraint(
                     feats, pm.shard(mesh, pm.VOLUME))
 
@@ -118,8 +119,11 @@ class Trainer:
                                         thresh, alpha)
                 return loss, (disp, upd["batch_stats"])
 
-            (loss, (disp, new_bs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+            # active_mesh lets the model's constrain_volume() calls
+            # re-annotate deep volumes whose dims shrink below the mesh
+            with pm.active_mesh(mesh):
+                (loss, (disp, new_bs)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
             opt_state = state.opt_state._replace(
                 hyperparams={**state.opt_state.hyperparams,
                              "learning_rate": lr})
@@ -135,7 +139,6 @@ class Trainer:
             return new_state, metrics, disp
 
         if mesh is not None:
-            from ..parallel import mesh as pm
             rep = pm.shard(mesh, pm.REPLICATED)
             return jax.jit(
                 step,

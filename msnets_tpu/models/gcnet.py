@@ -42,12 +42,17 @@ class MSGCNet(nn.Module):
         dt = self.dtype
         x = cv.astype(dt)
 
-        block = Conv3DBlock
+        # remat every BN'd stage: BatchNorm keeps float32 intermediates whose
+        # stored residuals at train shapes (1.6 GB per early layer) overflow
+        # HBM in the backward pass without rematerialization
+        block, convbn, deconvbn = Conv3DBlock, ConvBN3D, DeconvBN3D
         if self.remat:
             block = nn.remat(Conv3DBlock, static_argnums=(2,))
+            convbn = nn.remat(ConvBN3D, static_argnums=(2,))
+            deconvbn = nn.remat(DeconvBN3D, static_argnums=(2,))
 
-        x = nn.relu(ConvBN3D(F, 1, dtype=dt, name="conv3dbn_1")(x, train))
-        x = nn.relu(ConvBN3D(F, 1, dtype=dt, name="conv3dbn_2")(x, train))
+        x = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(x, train))
+        x = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_2")(x, train))
         res_l20 = x
         x = block(2 * F, 2, dtype=dt, name="block_3d_1")(x, train)
         res_l23 = x
@@ -57,10 +62,10 @@ class MSGCNet(nn.Module):
         res_l29 = x
         x = block(4 * F, 2, dtype=dt, name="block_3d_4")(x, train)
 
-        x = nn.relu(DeconvBN3D(2 * F, dtype=dt, name="deconvbn1")(x, train) + res_l29)
-        x = nn.relu(DeconvBN3D(2 * F, dtype=dt, name="deconvbn2")(x, train) + res_l26)
-        x = nn.relu(DeconvBN3D(2 * F, dtype=dt, name="deconvbn3")(x, train) + res_l23)
-        x = nn.relu(DeconvBN3D(F, dtype=dt, name="deconvbn4")(x, train) + res_l20)
+        x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn1")(x, train) + res_l29)
+        x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn2")(x, train) + res_l26)
+        x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn3")(x, train) + res_l23)
+        x = nn.relu(deconvbn(F, dtype=dt, name="deconvbn4")(x, train) + res_l20)
 
         # reference deconv5 is a bare nn.ConvTranspose3d (default bias=True)
         # + softmax + soft-argmin; fused into the subpixel head (layers.py)

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..parallel import mesh as pmesh
+
 
 def he_normal_msnets(kernel_spatial: int = 3):
     """N(0, sqrt(2/n)) with n = k^3 * out_channels (net_init.py:30-34).
@@ -114,6 +116,7 @@ class ConvBN3D(nn.Module):
     def __call__(self, x, train: bool):
         x = Conv3D(self.features, self.stride, self.kernel, self.dtype,
                    name="conv")(x)
+        x = pmesh.constrain_volume(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="bn")(x.astype(jnp.float32))
@@ -271,6 +274,7 @@ class DeconvBN3D(nn.Module):
     def __call__(self, x, train: bool):
         x = Deconv3D(self.features, self.stride, self.kernel,
                      dtype=self.dtype, name="deconv")(x)
+        x = pmesh.constrain_volume(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="bn")(x.astype(jnp.float32))

@@ -20,6 +20,7 @@ HBM; a stage split would only add bubbles.
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -71,6 +72,53 @@ REPLICATED = P()
 
 def shard(mesh: Mesh, spec: P):
     return NamedSharding(mesh, spec)
+
+
+# Trace-time active mesh for intra-model sharding re-annotation -----------
+
+_ACTIVE_MESH = []
+
+
+@contextlib.contextmanager
+def active_mesh(mesh: Optional[Mesh]):
+    """Make `mesh` visible to constrain_volume() during jit tracing.
+
+    The model layers call constrain_volume() between stages; outside this
+    context (or with mesh=None) those calls are no-ops, so single-device
+    paths are untouched.
+    """
+    _ACTIVE_MESH.append(mesh)
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH.pop()
+
+
+def constrain_volume(x):
+    """Re-annotate a [N, D, H, W, C] volume's sharding for the active mesh.
+
+    A mesh axis is used only while the corresponding dim still shards
+    sanely: divisible by the axis size and >= 2 elements per shard for the
+    conv dims D/H (kernel-3 convs need a halo of 1; a shard smaller than
+    its halo makes GSPMD's halo exchange degenerate — observed to
+    *miscompute* BatchNorm means by the product of the other mesh axes on
+    the deepest encoder volumes, and it is a bandwidth loss on real ICI
+    anyway). Deep small volumes therefore fall back to fewer sharded axes,
+    which XLA implements as an all-gather at the re-annotation point.
+    """
+    mesh = _ACTIVE_MESH[-1] if _ACTIVE_MESH else None
+    if mesh is None or getattr(x, "ndim", 0) != 5:
+        return x
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def use(dim: int, ax: str, min_shard: int) -> Optional[str]:
+        s = sizes.get(ax, 1)
+        ok = s > 1 and dim % s == 0 and dim // s >= min_shard
+        return ax if ok else None
+
+    spec = P(use(x.shape[0], "data", 1), use(x.shape[1], "disp", 2),
+             use(x.shape[2], "spatial", 2), None, None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
