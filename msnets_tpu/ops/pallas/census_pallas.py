@@ -52,13 +52,14 @@ def _pack_descriptors(img: jnp.ndarray, wsize: int) -> jnp.ndarray:
     return jnp.stack(words, axis=-1)
 
 
-def _census_kernel(dl_ref, dr_ref, out_ref, *, ndisp: int, nwords: int):
-    # dl/dr: [Th, W, NW] uint32; out: [D, Th, W] float32
+def _census_kernel(dl_ref, dr_ref, out_ref, *, d_chunk: int, nwords: int):
+    # dl: [Th, W, NW]; dr: [1, Th, W, NW] (pre-shifted by this chunk's base
+    # disparity); out: [d_chunk, Th, W] float32
     W = dl_ref.shape[1]
     for k in range(nwords):
         dl_k = dl_ref[:, :, k]
-        dr_k = dr_ref[:, :, k]
-        for d in range(ndisp):
+        dr_k = dr_ref[0, :, :, k]
+        for d in range(d_chunk):
             if d == 0:
                 shifted = dr_k
             elif d < W:
@@ -74,13 +75,25 @@ def _census_kernel(dl_ref, dr_ref, out_ref, *, ndisp: int, nwords: int):
                 out_ref[d] += ham
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def census_pallas(iml: jnp.ndarray, imr: jnp.ndarray, ndisp: int,
-                  wsize: int = 11, row_tile: int = 8) -> jnp.ndarray:
-    """Census cost volume [H, W, D], numerics identical to matchers.census."""
+                  wsize: int = 11, row_tile: int = 8,
+                  d_chunk: int = 16) -> jnp.ndarray:
+    """Census cost volume [H, W, D], numerics identical to matchers.census.
+
+    The disparity axis is processed in ``d_chunk``-wide grid steps: the
+    right descriptors are pre-shifted once per chunk outside the kernel
+    (cheap elementwise pad/slice, [D/chunk, H, W, NW] HBM), so every
+    in-kernel shift stays a static slice while the per-invocation unroll
+    drops from D*NW to chunk*NW ops — a fully unrolled D=96 kernel
+    overwhelmed the remote TPU compiler.
+    """
     H, W = iml.shape
     nbits = wsize * wsize
     nwords = (nbits + 31) // 32
+    d_chunk = min(d_chunk, ndisp)
+    nchunks = (ndisp + d_chunk - 1) // d_chunk
+    ndisp_p = nchunks * d_chunk
     dl = _pack_descriptors(iml, wsize)
     dr = _pack_descriptors(imr, wsize)
 
@@ -90,21 +103,32 @@ def census_pallas(iml: jnp.ndarray, imr: jnp.ndarray, ndisp: int,
         dl = jnp.pad(dl, ((0, Hp - H), (0, 0), (0, 0)))
         dr = jnp.pad(dr, ((0, Hp - H), (0, 0), (0, 0)))
 
-    grid = (Hp // row_tile,)
+    # pre-shift dr by each chunk's base disparity: dr_s[c, :, j] = dr[:, j - c*d_chunk]
+    def shift(c):
+        s = c * d_chunk
+        if s == 0:
+            return dr
+        if s >= W:
+            return jnp.zeros_like(dr)
+        return jnp.pad(dr[:, : W - s], ((0, 0), (s, 0), (0, 0)))
+
+    dr_s = jnp.stack([shift(c) for c in range(nchunks)], axis=0)
+
+    grid = (nchunks, Hp // row_tile)
     out = pl.pallas_call(
-        functools.partial(_census_kernel, ndisp=ndisp, nwords=nwords),
+        functools.partial(_census_kernel, d_chunk=d_chunk, nwords=nwords),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((row_tile, W, nwords), lambda i: (i, 0, 0),
+            pl.BlockSpec((row_tile, W, nwords), lambda c, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, W, nwords), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, row_tile, W, nwords), lambda c, i: (c, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ndisp, row_tile, W), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((d_chunk, row_tile, W), lambda c, i: (c, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ndisp, Hp, W), jnp.float32),
-    )(dl, dr)
+        out_shape=jax.ShapeDtypeStruct((ndisp_p, Hp, W), jnp.float32),
+    )(dl, dr_s)
 
-    cost = jnp.transpose(out[:, :H, :], (1, 2, 0))          # [H, W, D]
+    cost = jnp.transpose(out[:ndisp, :H, :], (1, 2, 0))     # [H, W, D]
     mask = jnp.asarray(_valid_mask(H, W, ndisp, wsize))
     return jnp.where(mask, cost, INVALID)

@@ -1,6 +1,8 @@
 """Bisect the TPU train-step crash: size, dtype, remat via argv."""
-import sys, time
+import os, sys, time
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax, jax.numpy as jnp
