@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_disp", type=int, default=192)
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--batchSize", type=int, default=1)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batch count per step (gradient accumulation)")
     p.add_argument("--log_summary_step", type=int, default=200)
     p.add_argument("--nEpochs", type=int, default=400)
     p.add_argument("--startEpoch", type=int, default=0)
@@ -84,7 +86,7 @@ def args_to_config(a) -> Config:
                           log_summary_step=a.log_summary_step,
                           checkpoint_dir=a.checkpoint_dir,
                           train_logdir=a.train_logdir, resume=a.resume,
-                          remat=not a.no_remat),
+                          remat=not a.no_remat, grad_accum=a.grad_accum),
         data=DataConfig(data_path=a.data_path, training_list=a.training_list,
                         test_list=a.test_list,
                         kitti2012=bool(a.kitti2012),

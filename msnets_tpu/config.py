@@ -94,6 +94,10 @@ class TrainConfig:
     resume: str = ""
     # gradient rematerialization of encoder stages to trade FLOPs for HBM
     remat: bool = True
+    # micro-batching: split each batch into N sequential micro-steps,
+    # accumulating gradients (BatchNorm stats thread through sequentially).
+    # Lets train-crop batch 2 fit one chip's HBM; batch_size % grad_accum == 0
+    grad_accum: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

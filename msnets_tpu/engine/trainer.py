@@ -95,7 +95,10 @@ class Trainer:
 
         from ..parallel import mesh as pm
 
-        def step(state: TrainState, iml, imr, target, lr):
+        accum = self.cfg.train.grad_accum
+
+        def micro_grads(params, batch_stats, iml, imr, target):
+            """features -> model -> loss -> grads for one micro-batch."""
             feats = jax.vmap(lambda a, b: ms_features_train(
                 a, b, max_disp, mcfg, board_h, bwl, bwr,
                 mcfg.left_only))(iml, imr)
@@ -107,7 +110,7 @@ class Trainer:
 
             def loss_fn(params):
                 out, upd = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
+                    {"params": params, "batch_stats": batch_stats},
                     feats, train=True, mutable=["batch_stats"])
                 if is_psmnet:
                     d0, d1, disp = out
@@ -119,21 +122,51 @@ class Trainer:
                                         thresh, alpha)
                 return loss, (disp, upd["batch_stats"])
 
-            # active_mesh lets the model's constrain_volume() calls
-            # re-annotate deep volumes whose dims shrink below the mesh
-            with pm.active_mesh(mesh):
-                (loss, (disp, new_bs)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params)
-            opt_state = state.opt_state._replace(
-                hyperparams={**state.opt_state.hyperparams,
-                             "learning_rate": lr})
-            updates, new_opt = tx.update(grads, opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            (loss, (disp, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
             metrics = {
                 "loss": loss,
                 "epe": L.epe(disp, target, mask),
                 "accu3": L.valid_accu3(target, disp, mask),
             }
+            return disp, new_bs, grads, metrics
+
+        def step(state: TrainState, iml, imr, target, lr):
+            # active_mesh lets the model's constrain_volume() calls
+            # re-annotate deep volumes whose dims shrink below the mesh
+            with pm.active_mesh(mesh):
+                if accum == 1:
+                    disp, new_bs, grads, metrics = micro_grads(
+                        state.params, state.batch_stats, iml, imr, target)
+                else:
+                    # sequential micro-batches: gradients accumulate, BN
+                    # running stats thread through (the semantics of
+                    # consecutive reference steps); peak HBM holds only one
+                    # micro-batch's activations
+                    n = iml.shape[0]
+                    assert n % accum == 0, (n, accum)
+                    split = lambda x: x.reshape(
+                        (accum, n // accum) + x.shape[1:])
+
+                    def body(carry, xs):
+                        bstats, gsum = carry
+                        a, b, t = xs
+                        disp, new_bs, g, m = micro_grads(
+                            state.params, bstats, a, b, t)
+                        return (new_bs, jax.tree.map(jnp.add, gsum, g)), (disp, m)
+
+                    gzero = jax.tree.map(jnp.zeros_like, state.params)
+                    (new_bs, gsum), (disps, ms) = jax.lax.scan(
+                        body, (state.batch_stats, gzero),
+                        (split(iml), split(imr), split(target)))
+                    grads = jax.tree.map(lambda g: g / accum, gsum)
+                    metrics = jax.tree.map(jnp.mean, ms)
+                    disp = disps.reshape((n,) + disps.shape[2:])
+            opt_state = state.opt_state._replace(
+                hyperparams={**state.opt_state.hyperparams,
+                             "learning_rate": lr})
+            updates, new_opt = tx.update(grads, opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(step=state.step + 1, params=new_params,
                                       batch_stats=new_bs, opt_state=new_opt)
             return new_state, metrics, disp

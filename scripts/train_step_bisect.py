@@ -12,17 +12,22 @@ def main():
     scale = sys.argv[1] if len(sys.argv) > 1 else "small"
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
     remat = (sys.argv[3] if len(sys.argv) > 3 else "remat") == "remat"
+    accum = 1
     if scale == "small":
         ch, cw, md, bs = 128, 256, 64, 1
     elif scale == "mid":
         ch, cw, md, bs = 256, 512, 192, 1
+    elif scale == "full-accum":
+        ch, cw, md, bs = 256, 512, 192, 2
+        accum = 2
     else:
         ch, cw, md, bs = 256, 512, 192, 2
     mcfg = MatchingConfig()
     cfg = Config(matching=mcfg,
                  model=ModelConfig(name="MS-GCNet", max_disp=md, compute_dtype=dtype),
                  train=TrainConfig(crop_height=ch, crop_width=cw,
-                                   batch_size=bs, remat=remat),
+                                   batch_size=bs, remat=remat,
+                                   grad_accum=accum),
                  data=DataConfig())
     tr = Trainer(cfg)
     state = tr.init_state(tr.feats_shape_for(bs))

@@ -147,3 +147,47 @@ def test_resume_from_reference_torch_tar(cfg, tmp_path):
     bs = np.asarray(restored.batch_stats["conv3dbn_1"]["bn"]["mean"])
     np.testing.assert_allclose(
         bs, tm.state_dict()["conv3dbn_1.1.running_mean"].numpy(), atol=1e-7)
+
+
+def test_grad_accum_matches_single_step_on_duplicated_batch(cfg):
+    """With two identical micro-batches, accum=2 must produce exactly the
+    same parameter update as the plain batch-1 step (each micro sees the
+    same batch statistics and gradients; the mean of two equal gradients is
+    the gradient)."""
+    import dataclasses
+    import jax
+
+    rng = np.random.default_rng(3)
+    mcfg = cfg.matching
+    bh, bwl = mcfg.board_h, cfg.model.max_disp
+    h, w = cfg.train.crop_height, cfg.train.crop_width
+    iml1 = rng.integers(0, 256, (1, h + 2 * bh, w + bwl), dtype=np.uint8)
+    imr1 = rng.integers(0, 256, (1, h + 2 * bh, w + bwl), dtype=np.uint8)
+    t1 = np.full((1, h, w), 8.0, np.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    c1 = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, batch_size=1, grad_accum=1))
+    c2 = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, batch_size=2, grad_accum=2))
+
+    tr1 = Trainer(c1)
+    s1 = tr1.init_state(tr1.feats_shape_for(1), seed=0)
+    s1b, m1, d1 = tr1.step_fn(bh, bwl, 0)(
+        s1, jnp.asarray(iml1), jnp.asarray(imr1), jnp.asarray(t1), lr)
+
+    dup = lambda x: np.concatenate([x, x], axis=0)
+    tr2 = Trainer(c2)
+    s2 = tr2.init_state(tr2.feats_shape_for(2), seed=0)
+    s2b, m2, d2 = tr2.step_fn(bh, bwl, 0)(
+        s2, jnp.asarray(dup(iml1)), jnp.asarray(dup(imr1)),
+        jnp.asarray(dup(t1)), lr)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    for a, b in zip(jax.tree.leaves(s1b.params), jax.tree.leaves(s2b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(d2[0]), np.asarray(d1[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d2[1]), np.asarray(d1[0]),
+                               rtol=1e-4, atol=1e-4)
