@@ -229,10 +229,15 @@ def zsad(iml: jnp.ndarray, imr: jnp.ndarray, ndisp: int, wsize: int = 5) -> jnp.
     K = muL[:, :, None] - muR_s                          # [H, W, D]
     T = L[:, :, None] - shifted_over_disp(R, ndisp)      # [H, W, D]
 
+    # static slices of one zero-padded buffer (NOT jnp.roll: 25 rolls
+    # materialize 25 [H,W,D] copies; 25 slice-views of Tp fuse into a
+    # single stencil loop). Border values differ from the roll/wrap
+    # formulation only inside the wc margin, which the mask invalidates.
+    Tp = jnp.pad(T, ((wc, wc), (wc, wc), (0, 0)))
     cost = jnp.zeros((H, W, ndisp), jnp.float32)
-    for u in range(-wc, wc + 1):
-        for v in range(-wc, wc + 1):
-            Ts = jnp.roll(T, (-u, -v), axis=(0, 1))
+    for u in range(wsize):
+        for v in range(wsize):
+            Ts = jax.lax.slice(Tp, (u, v, 0), (u + H, v + W, ndisp))
             cost = cost + jnp.abs(Ts - K)
     mask = jnp.asarray(_valid_mask(H, W, ndisp, wsize))
     return jnp.where(mask, cost, INVALID)

@@ -28,7 +28,7 @@ def timed_scan(fn, iml, imr, iters):
             def body(carry, _):
                 x = a ^ carry.astype(jnp.uint8)
                 out = fn(x, b)
-                return (out[0, 0] > 0).astype(jnp.int32) % 2, None
+                return (out[0, 0, 0] > 0).astype(jnp.int32) % 2, None
             c, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=n)
             return c
         return loop
