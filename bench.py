@@ -18,7 +18,9 @@ import time
 import numpy as np
 
 H, W, D = 256, 512, 192          # BASELINE: 512x256, D=192
-BATCH = 2                        # inference micro-batch per step
+# batch 1 measured faster per pair than batch 2 (33.0 vs 47.2 ms on v5e:
+# the 3-D conv working set at batch 2 tiles worse); override via BENCH_BATCH
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 
 
 def build_forward():

@@ -4,6 +4,9 @@ Uses the same chained-scan + value-fetch timing discipline as bench.py
 (the remote relay has ~35 ms dispatch latency and its block_until_ready
 does not reliably wait; only device->host value fetches synchronize).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -2,6 +2,9 @@
 
 Shapes = the hottest GCNet layers at bench size (volume [96, 128, 256]).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 
