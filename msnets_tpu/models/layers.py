@@ -85,6 +85,42 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     return out.reshape(N, d_out, h_out, w_out, cout)
 
 
+def conv3d_s2_space_to_depth(x: jnp.ndarray, kernel: jnp.ndarray,
+                             dtype) -> jnp.ndarray:
+    """k=3, stride-2, pad-1 conv3d as a k=2, stride-1 conv on 2x2x2
+    space-to-depth blocks.
+
+    The strided conv is the encoder's worst MXU shape (native lowering
+    ~6-7 TFLOP/s on v5e: tiny contraction, strided reads). Folding each
+    2x2x2 input block into channels gives one dense stride-1 conv with an
+    8*cin contraction and aligned reads; 27 of the 64 (block-tap, offset)
+    kernel slots are the real taps, the rest are zeros (2.37x padded FLOPs).
+
+    MEASURED NEGATIVE RESULT (scripts/perf_conv3d_s2d.py, v5e): the padded
+    FLOPs eat the layout win — 8.2 ms vs native 7.2 ms on the block1
+    stride-2 conv, 1.4 vs 1.2 ms on block2. Kept as documentation; the
+    model uses the native lowering (see Conv3D).
+    """
+    kd, kh, kw, cin, cout = kernel.shape
+    assert (kd, kh, kw) == (3, 3, 3)
+    N, D, H, W, _ = x.shape
+    assert D % 2 == 0 and H % 2 == 0 and W % 2 == 0
+    x = x.astype(dtype)
+    xs = x.reshape(N, D // 2, 2, H // 2, 2, W // 2, 2, cin)
+    xs = jnp.transpose(xs, (0, 1, 3, 5, 2, 4, 6, 7)).reshape(
+        N, D // 2, H // 2, W // 2, 8 * cin)
+    # K2[b, o] tap = K[2*b + o - 1] per axis (slot -1 zero): front-pad each
+    # spatial axis to 4 and split 4 -> (block, offset)
+    kp = jnp.pad(kernel, ((1, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    kp = kp.reshape(2, 2, 2, 2, 2, 2, cin, cout)       # [bz,oz,by,oy,bx,ox]
+    k2 = jnp.transpose(kp, (0, 2, 4, 1, 3, 5, 6, 7)).reshape(
+        2, 2, 2, 8 * cin, cout).astype(dtype)
+    dn = jax.lax.conv_dimension_numbers(xs.shape, k2.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    return jax.lax.conv_general_dilated(
+        xs, k2, (1, 1, 1), [(1, 0)] * 3, dimension_numbers=dn)
+
+
 class Conv3D(nn.Module):
     """Bare 3-D conv (no bias), param path ``<name>/kernel``."""
     features: int

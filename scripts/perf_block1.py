@@ -1,4 +1,7 @@
 """Drill into block_3d_1: which conv is slow, decomposed vs native."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys, time
 import numpy as np
 
@@ -45,6 +48,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))

@@ -1,4 +1,7 @@
 """Isolated deconv timing: XLA dense (lhs_dilation) vs subpixel phases."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys, time
 import numpy as np
 
@@ -50,6 +53,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))

@@ -1,4 +1,7 @@
 """Per-stage GCNet timing on TPU at bench shapes (eval mode)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 
@@ -75,6 +78,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))

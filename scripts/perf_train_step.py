@@ -1,4 +1,7 @@
 """Time the full jitted train step (features+fwd+bwd+Adam) on TPU."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys, time
 import numpy as np
 
@@ -38,6 +41,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
