@@ -40,6 +40,9 @@ def he_normal_msnets(kernel_spatial: int = 3):
     return init
 
 
+_S2_HW_S2D_MIN_VOXELS = 1_000_000
+
+
 def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                  pad: int, dtype, decompose: bool = True) -> jnp.ndarray:
     """3-D convolution, NDHWC x DHWIO.
@@ -47,12 +50,20 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     ``decompose=True`` (default) lowers *stride-1* convs to kd batched 2-D
     convolutions over (N*D, H, W) summed along the kernel's depth taps —
     measured ~1.5-2.4x faster than XLA's native conv3d lowering on TPU v5e
-    (scripts/perf_conv3d.py, perf_block1.py). Strided convs stay on the
-    native lowering: the strided slices make the decomposition ~3.5x SLOWER
-    (22.9 vs 6.4 ms for the stride-2 32->64 block conv). Bit-identical math
-    up to fp32 partial-sum reassociation.
+    (scripts/perf_conv3d.py, perf_block1.py). Stride-2 convs on LARGE
+    volumes use the H,W space-to-depth + D-parity lowering (1.56x faster
+    than native at block1's [96,128,256] shape, scripts/perf_conv3d_s2_hw.py);
+    small volumes and other strides stay on the native lowering (the s2d
+    transpose overhead loses below ~1M voxels, and a fully strided per-kz
+    decomposition measured ~3.5x slower). Bit-identical math up to fp32
+    partial-sum reassociation.
     """
     kd, kh, kw, cin, cout = kernel.shape
+    if (stride == 2 and decompose and (kd, kh, kw) == (3, 3, 3) and pad == 1
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and x.shape[3] % 2 == 0
+            and x.shape[1] * x.shape[2] * x.shape[3] >= _S2_HW_S2D_MIN_VOXELS):
+        return conv3d_s2_hw_s2d(x, kernel, dtype)
     if stride != 1:
         decompose = False
     if not decompose:
@@ -85,40 +96,57 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     return out.reshape(N, d_out, h_out, w_out, cout)
 
 
-def conv3d_s2_space_to_depth(x: jnp.ndarray, kernel: jnp.ndarray,
-                             dtype) -> jnp.ndarray:
-    """k=3, stride-2, pad-1 conv3d as a k=2, stride-1 conv on 2x2x2
-    space-to-depth blocks.
+def _hw_block_kernel(kernel: jnp.ndarray, kz: int, dtype) -> jnp.ndarray:
+    """K[kz] (3,3,cin,cout) -> H,W space-to-depth block kernel
+    (2,2,4*cin,cout): kp[b, o] = K[2b + o - 1] per axis (front-pad 3 -> 4,
+    split into (block, offset)); input channel order must be (oh, ow, c)."""
+    k = kernel[kz]
+    cin, cout = k.shape[2], k.shape[3]
+    kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))      # [4,4,cin,cout]
+    kp = kp.reshape(2, 2, 2, 2, cin, cout)                 # [bh,oh,bw,ow,..]
+    k2 = jnp.transpose(kp, (0, 2, 1, 3, 4, 5)).reshape(2, 2, 4 * cin, cout)
+    return k2.astype(dtype)
 
-    The strided conv is the encoder's worst MXU shape (native lowering
-    ~6-7 TFLOP/s on v5e: tiny contraction, strided reads). Folding each
-    2x2x2 input block into channels gives one dense stride-1 conv with an
-    8*cin contraction and aligned reads; 27 of the 64 (block-tap, offset)
-    kernel slots are the real taps, the rest are zeros (2.37x padded FLOPs).
 
-    MEASURED NEGATIVE RESULT (scripts/perf_conv3d_s2d.py, v5e): the padded
-    FLOPs eat the layout win — 8.2 ms vs native 7.2 ms on the block1
-    stride-2 conv, 1.4 vs 1.2 ms on block2. Kept as documentation; the
-    model uses the native lowering (see Conv3D).
+def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
+                     dtype) -> jnp.ndarray:
+    """k=3, stride-2, pad-1 conv3d via H,W space-to-depth + D-parity split.
+
+    XLA's native stride-2 conv3d is the encoder's worst MXU shape (~6-7
+    TFLOP/s on v5e: tiny contraction, strided reads). Folding each 2x2 H,W
+    block into channels gives stride-1 2-D convs with a 4*cin contraction
+    ((4/3)^2 = 1.78x padded FLOPs — cheaper than the 2.37x of a full 3-axis
+    space-to-depth, which measured SLOWER than native, see
+    scripts/perf_conv3d_s2d.py); the three depth taps reduce over the even/
+    odd D planes:  out[m] = K[1]*xe[m] + K[2]*xo[m] + K[0]*xo[m-1].
+    Measured 1.56x faster than native at block1's [96,128,256] shape
+    (3.97 vs 6.18 ms, scripts/perf_conv3d_s2_hw.py); loses below ~1M voxels
+    where the s2d transpose overhead dominates.
     """
     kd, kh, kw, cin, cout = kernel.shape
     assert (kd, kh, kw) == (3, 3, 3)
     N, D, H, W, _ = x.shape
     assert D % 2 == 0 and H % 2 == 0 and W % 2 == 0
+    D2, H2, W2 = D // 2, H // 2, W // 2
     x = x.astype(dtype)
-    xs = x.reshape(N, D // 2, 2, H // 2, 2, W // 2, 2, cin)
-    xs = jnp.transpose(xs, (0, 1, 3, 5, 2, 4, 6, 7)).reshape(
-        N, D // 2, H // 2, W // 2, 8 * cin)
-    # K2[b, o] tap = K[2*b + o - 1] per axis (slot -1 zero): front-pad each
-    # spatial axis to 4 and split 4 -> (block, offset)
-    kp = jnp.pad(kernel, ((1, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
-    kp = kp.reshape(2, 2, 2, 2, 2, 2, cin, cout)       # [bz,oz,by,oy,bx,ox]
-    k2 = jnp.transpose(kp, (0, 2, 4, 1, 3, 5, 6, 7)).reshape(
-        2, 2, 2, 8 * cin, cout).astype(dtype)
-    dn = jax.lax.conv_dimension_numbers(xs.shape, k2.shape,
-                                        ("NDHWC", "DHWIO", "NDHWC"))
-    return jax.lax.conv_general_dilated(
-        xs, k2, (1, 1, 1), [(1, 0)] * 3, dimension_numbers=dn)
+    xs = x.reshape(N, D, H2, 2, W2, 2, cin)
+    xs = jnp.transpose(xs, (0, 1, 2, 4, 3, 5, 6)).reshape(N, D, H2, W2,
+                                                          4 * cin)
+    xe = xs[:, 0::2]                                   # planes 2m
+    xo = xs[:, 1::2]                                   # planes 2m+1
+    xo_m1 = jnp.pad(xo, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :D2]
+
+    def c2d(v, k2):
+        s2 = v.reshape(N * D2, H2, W2, 4 * cin)
+        dn = jax.lax.conv_dimension_numbers(s2.shape, k2.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(s2, k2, (1, 1), [(1, 0), (1, 0)],
+                                         dimension_numbers=dn)
+        return y.reshape(N, D2, H2, W2, cout)
+
+    return (c2d(xe, _hw_block_kernel(kernel, 1, dtype)) +
+            c2d(xo, _hw_block_kernel(kernel, 2, dtype)) +
+            c2d(xo_m1, _hw_block_kernel(kernel, 0, dtype)))
 
 
 class Conv3D(nn.Module):

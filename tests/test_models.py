@@ -149,3 +149,40 @@ def test_bfloat16_forward_runs():
     v = m.init(jax.random.PRNGKey(0), x, train=False)
     y = m.apply(v, x, train=False)
     assert y.dtype == jnp.float32 and y.shape == (1, 32, 32)
+
+
+def test_conv3d_s2_hw_s2d_matches_native():
+    """The large-volume stride-2 lowering (H,W space-to-depth + D-parity
+    split, layers.conv3d_s2_hw_s2d) must match the native XLA lowering."""
+    from msnets_tpu.models.layers import conv3d_ndhwc, conv3d_s2_hw_s2d
+    rng = np.random.default_rng(7)
+    for shp, cout in [((1, 8, 10, 12, 5), 7), ((2, 4, 6, 8, 3), 4)]:
+        x = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, shp[-1], cout)) * 0.1,
+                        jnp.float32)
+        ref = conv3d_ndhwc(x, k, 2, 1, jnp.float32, decompose=False)
+        got = conv3d_s2_hw_s2d(x, k, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_conv3d_s2_policy_grad():
+    """Autodiff through the s2d stride-2 path agrees with the native path."""
+    from msnets_tpu.models.layers import conv3d_ndhwc, conv3d_s2_hw_s2d
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 4, 6, 8, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 4)) * 0.1, jnp.float32)
+
+    def loss_s2d(x, k):
+        return jnp.sum(conv3d_s2_hw_s2d(x, k, jnp.float32) ** 2)
+
+    def loss_nat(x, k):
+        return jnp.sum(conv3d_ndhwc(x, k, 2, 1, jnp.float32,
+                                    decompose=False) ** 2)
+
+    gx1, gk1 = jax.grad(loss_s2d, argnums=(0, 1))(x, k)
+    gx2, gk2 = jax.grad(loss_nat, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
+                               rtol=1e-4, atol=1e-4)
