@@ -169,8 +169,42 @@ class Conv3D(nn.Module):
         return y
 
 
+class _KernelHolder(nn.Module):
+    """Declares a conv kernel param under a named child scope so the parent
+    can transform it (e.g. fold BN scales) before the convolution. Keeps the
+    param tree identical to the Conv3D/Deconv3D submodule layout
+    (``<name>/kernel``) that the torch checkpoint converter targets."""
+    shape: Tuple[int, ...]
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", he_normal_msnets(self.kernel_size),
+                          self.shape)
+
+
+def _bn_affine(bn: nn.Module, features: int):
+    """Extract eval-mode BatchNorm as (a, b) with y = a*x + b per channel.
+
+    Probes the bound BN module with zeros and ones — bn(0) = beta - mu*g,
+    bn(1) - bn(0) = g where g = gamma/sqrt(var+eps) — so the affine is
+    recovered without reaching into the child scope's variables. O(C) cost.
+    """
+    probe0 = jnp.zeros((1, 1, 1, 1, features), jnp.float32)
+    b = bn(probe0)
+    a = bn(jnp.ones_like(probe0)) - b
+    return a.reshape(-1), b.reshape(-1)
+
+
 class ConvBN3D(nn.Module):
-    """conv3d (no bias) + BatchNorm (reference convbn_3d, gcnet_3dcnn.py:20-22)."""
+    """conv3d (no bias) + BatchNorm (reference convbn_3d, gcnet_3dcnn.py:20-22).
+
+    Eval mode folds the BN affine into the conv kernel and a bias
+    (y = conv(x, k*g) + (beta - mu*g)): the BN stage otherwise costs a full
+    f32 HBM round-trip of the volume (~2.7 ms at the deconvbn4 output shape,
+    ~7 ms across all stages of a 512x256 D192 forward on v5e). Train mode
+    keeps real batch-stat BN in f32.
+    """
     features: int
     stride: int = 1
     kernel: int = 3
@@ -178,13 +212,21 @@ class ConvBN3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = Conv3D(self.features, self.stride, self.kernel, self.dtype,
-                   name="conv")(x)
-        x = pmesh.constrain_volume(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32, name="bn")(x.astype(jnp.float32))
-        return x.astype(self.dtype)
+        k = self.kernel
+        kernel = _KernelHolder((k, k, k, x.shape[-1], self.features), k,
+                               name="conv")()
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="bn")
+        if train:
+            x = conv3d_ndhwc(x, kernel, self.stride, k // 2, self.dtype)
+            x = pmesh.constrain_volume(x)
+            return bn(x.astype(jnp.float32)).astype(self.dtype)
+        a, b = _bn_affine(bn, self.features)
+        kf = (kernel.astype(jnp.float32) * a).astype(self.dtype)
+        y = conv3d_ndhwc(x, kf, self.stride, k // 2, self.dtype)
+        y = y + b.astype(self.dtype)
+        return pmesh.constrain_volume(y)
 
 
 def _deconv_phase_taps(stride: int):
@@ -286,6 +328,33 @@ def deconv3d_conv_shuffle(x: jnp.ndarray, kernel: jnp.ndarray,
     return y.reshape(N, 2 * D, 2 * H, 2 * W, cout)
 
 
+def deconv3d_apply(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                   dtype, mode: str = "dense") -> jnp.ndarray:
+    """ConvTranspose3d(k, stride, padding=1, output_padding=stride-1) by
+    lowering mode. "dense" (default): XLA lhs_dilation lowering — fastest
+    end-to-end measured for the BN'd mid deconvs (conv_shuffle's
+    depth-to-space transpose and wpack's misaligned W+1 convs both lose at
+    the large deconvbn4 output; scripts/perf_deconv.py, perf_deconv_wpack.py).
+    "conv_shuffle": one packed k=2^3 conv + pixel shuffle (sparse FLOPs).
+    "subpixel": per-phase pointwise dots."""
+    k = kernel.shape[0]
+    s = stride
+    if mode == "conv_shuffle" and k == 3 and s == 2:
+        return deconv3d_conv_shuffle(x, kernel, dtype)
+    if mode == "subpixel" and k == 3:
+        return deconv3d_subpixel(x, kernel, s, dtype)
+    pad_lo = k - 2            # k-1-padding, padding=1
+    pad_hi = k - 2 + (s - 1)  # + output_padding = stride-1
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype),
+        window_strides=(1, 1, 1),
+        padding=[(pad_lo, pad_hi)] * 3,
+        lhs_dilation=(s, s, s),
+        dimension_numbers=dn)
+
+
 class Deconv3D(nn.Module):
     """ConvTranspose3d(k, stride, padding=1, output_padding=stride-1).
     Doubles (stride 2) or quadruples (stride 4) every spatial dim."""
@@ -294,33 +363,14 @@ class Deconv3D(nn.Module):
     kernel: int = 3
     use_bias: bool = False
     dtype: Any = jnp.float32
-    # "dense" (default): XLA lhs_dilation lowering — fastest end-to-end
-    # measured for the BN'd mid deconvs (32.4 ms full fwd vs 36.6 with
-    # conv_shuffle, whose depth-to-space transpose dominates at the large
-    # deconvbn4 output). "conv_shuffle": one packed k=2^3 conv + pixel
-    # shuffle (sparse FLOPs). "subpixel": per-phase pointwise dots.
     mode: str = "dense"
 
     @nn.compact
     def __call__(self, x):
-        k, s = self.kernel, self.stride
+        k = self.kernel
         kernel = self.param("kernel", he_normal_msnets(k),
                             (k, k, k, x.shape[-1], self.features))
-        if self.mode == "conv_shuffle" and k == 3 and s == 2:
-            y = deconv3d_conv_shuffle(x, kernel, self.dtype)
-        elif self.mode == "subpixel" and k == 3:
-            y = deconv3d_subpixel(x, kernel, s, self.dtype)
-        else:
-            pad_lo = k - 2            # k-1-padding, padding=1
-            pad_hi = k - 2 + (s - 1)  # + output_padding = stride-1
-            dn = jax.lax.conv_dimension_numbers(
-                x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                window_strides=(1, 1, 1),
-                padding=[(pad_lo, pad_hi)] * 3,
-                lhs_dilation=(s, s, s),
-                dimension_numbers=dn)
+        y = deconv3d_apply(x, kernel, self.stride, self.dtype, self.mode)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b
@@ -328,7 +378,10 @@ class Deconv3D(nn.Module):
 
 
 class DeconvBN3D(nn.Module):
-    """deconv + BatchNorm (reference deconvbn_3d, gcnet_3dcnn.py:24-27)."""
+    """deconv + BatchNorm (reference deconvbn_3d, gcnet_3dcnn.py:24-27).
+
+    Eval mode folds the BN affine into the deconv kernel + bias, exactly as
+    ConvBN3D does (the deconv is linear in its kernel's cout axis)."""
     features: int
     stride: int = 2
     kernel: int = 3
@@ -336,13 +389,21 @@ class DeconvBN3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = Deconv3D(self.features, self.stride, self.kernel,
-                     dtype=self.dtype, name="deconv")(x)
-        x = pmesh.constrain_volume(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32, name="bn")(x.astype(jnp.float32))
-        return x.astype(self.dtype)
+        k = self.kernel
+        kernel = _KernelHolder((k, k, k, x.shape[-1], self.features), k,
+                               name="deconv")()
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="bn")
+        if train:
+            x = deconv3d_apply(x, kernel, self.stride, self.dtype)
+            x = pmesh.constrain_volume(x)
+            return bn(x.astype(jnp.float32)).astype(self.dtype)
+        a, b = _bn_affine(bn, self.features)
+        kf = (kernel.astype(jnp.float32) * a).astype(self.dtype)
+        y = deconv3d_apply(x, kf, self.stride, self.dtype)
+        y = y + b.astype(self.dtype)
+        return pmesh.constrain_volume(y)
 
 
 class Conv3DBlock(nn.Module):

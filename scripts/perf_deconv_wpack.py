@@ -11,6 +11,14 @@ dims); handle the 4 (pz, ph) D/H phase combos as separate exact convs and
 interleave them with one stack+reshape whose inner contiguous chunks are
 2W*cout (~16 KB — an efficient transpose). FLOPs = 4/3 x the real work
 (the W k=2 pack has 3 of 4 slots live), vs 8x for dense.
+
+MEASURED NEGATIVE RESULT (v5e, 2026-08-17): wpack 5.31 ms vs dense 3.01 ms
+at the deconvbn4 shape (slight win only at deconvbn3: 0.52 vs 0.62). The
+nine W+1=129-wide convs (misaligned lanes) each re-read x, and the phase
+stack still moves the full output. Dense stays the default. KEY FINDING:
+the dense deconv is only 3.01 of the 5.68 ms deconvbn4 *stage* — the BN
+f32 round-trip is ~2.7 ms, which motivated eval-mode conv-BN folding in
+models/layers.py.
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
