@@ -186,3 +186,40 @@ def test_conv3d_s2_policy_grad():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("cls_name", ["ConvBN3D", "DeconvBN3D"])
+def test_bn_folding_nontrivial_stats(cls_name):
+    """Eval-mode BN folding (layers.ConvBN3D/DeconvBN3D) must equal explicit
+    conv -> (x-mu)/sqrt(var+eps)*gamma+beta with RANDOM running stats and BN
+    affine params. The torch-twin parity tests run at torch's *init* stats
+    (mu=0, var=1, gamma=1, beta=0) where a mu/gamma folding bug is invisible;
+    this test pins the general case."""
+    from msnets_tpu.models import layers as L
+
+    cls = getattr(L, cls_name)
+    sub = "conv" if cls_name == "ConvBN3D" else "deconv"
+    cin, cout = 3, 5
+    m = cls(cout, stride=2 if cls_name == "DeconvBN3D" else 1)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 8, cin)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, False)
+
+    mu = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.2, 3.0, cout), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+    v = jax.tree_util.tree_map(lambda a: a, v)  # unfreeze-safe copy
+    v = {"params": {sub: v["params"][sub],
+                    "bn": {"scale": gamma, "bias": beta}},
+         "batch_stats": {"bn": {"mean": mu, "var": var}}}
+
+    got = np.asarray(m.apply(v, x, False))
+
+    kernel = v["params"][sub]["kernel"]
+    if cls_name == "ConvBN3D":
+        y = L.conv3d_ndhwc(x, kernel, 1, 1, jnp.float32)
+    else:
+        y = L.deconv3d_apply(x, kernel, 2, jnp.float32)
+    ref = (y - mu) / jnp.sqrt(var + 1e-5) * gamma + beta
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-5)
