@@ -69,9 +69,16 @@ def downsample_half(img: jnp.ndarray) -> jnp.ndarray:
             acc = sl * np.float32(kv) if acc is None else acc + sl * np.float32(kv)
         return acc
     x = gauss_axis(gauss_axis(x, 0), 1)
-    # bilinear at source coords 2*o + 0.5 == 2x2 average
-    x = (x[0:2 * oh:2, 0:2 * ow:2] + x[0:2 * oh:2, 1:2 * ow:2]
-         + x[1:2 * oh:2, 0:2 * ow:2] + x[1:2 * oh:2, 1:2 * ow:2]) * 0.25
+    # bilinear at source coords 2*o + 0.5 == 2x2 average. Implemented via a
+    # crop/zero-pad + reshape instead of stride-2 slices: lane-strided
+    # gathers cost ~1.5 ms on v5e for this shape vs ~0 for the reshape form
+    # (scripts/perf_downsample.py). Zero padding for odd dims matches
+    # skimage's warp(mode='constant', cval=0) out-of-range handling.
+    ph, pw = max(0, 2 * oh - H), max(0, 2 * ow - W)
+    if ph or pw:
+        x = jnp.pad(x, ((0, ph), (0, pw)))
+    x = x[:2 * oh, :2 * ow].reshape(oh, 2, ow, 2)
+    x = (x[:, 0, :, 0] + x[:, 0, :, 1] + x[:, 1, :, 0] + x[:, 1, :, 1]) * 0.25
     return (x * 255.0).astype(jnp.uint8)
 
 

@@ -28,7 +28,7 @@ def main():
             def loop(xx):
                 def body(c, _):
                     out = apply(xx + c.astype(dt))
-                    return out.ravel()[0].astype(jnp.float32).astype(jnp.int32) % 2, None
+                    o = out.ravel(); return jax.lax.dynamic_index_in_dim(o, c % o.size, 0, False).astype(jnp.float32).astype(jnp.int32) % 2, None
                 c, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=n)
                 return c
             return lambda: loop(x)

@@ -49,14 +49,19 @@ def main():
     h2 = jnp.asarray(rng.integers(0, 256, (H // 2 + 20, W // 2 + 20), dtype=np.uint8))
     r2 = jnp.asarray(rng.integers(0, 256, h2.shape, dtype=np.uint8))
 
-    def scan_over(fn_apply, reduce_out):
-        """Build a chained scan closure factory."""
+    def scan_over(fn_apply, reduce_out=None):
+        """Build a chained scan closure factory. The carry reads the output
+        at a data-dependent index: XLA cannot dead-code-slice the pipeline
+        (a fixed out[0] index lets it compute just one element of pure
+        elementwise/reshape chains — observed 1.5 ms -> 0 distortions)."""
         def make(n):
             @jax.jit
             def loop():
                 def body(c, _):
                     out = fn_apply(c)
-                    return reduce_out(out), None
+                    o = out.ravel()
+                    return (jax.lax.dynamic_index_in_dim(o, c % o.size, 0, False)
+                            .astype(jnp.float32).astype(jnp.int32) % 2), None
                 c, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
                                     length=n)
                 return c

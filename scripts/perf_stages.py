@@ -47,7 +47,7 @@ def main():
                         out = module.apply(vv, xx + c.astype(dt))
                     else:
                         out = module.apply(vv, xx + c.astype(dt), train)
-                    return out.ravel()[0].astype(jnp.float32).astype(jnp.int32) % 2, None
+                    o = out.ravel(); return jax.lax.dynamic_index_in_dim(o, c % o.size, 0, False).astype(jnp.float32).astype(jnp.int32) % 2, None
                 c, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=n)
                 return c
             return lambda: loop(v, x)
