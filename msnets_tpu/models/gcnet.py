@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (Conv3DBlock, ConvBN3D, Deconv3D, DeconvBN3D,
-                     SubpixelSoftArgminHead, soft_argmin)
+                     SubpixelSoftArgminHead, hw_pack, hw_unpack, soft_argmin)
 
 
 class MSGCNet(nn.Module):
@@ -47,20 +47,41 @@ class MSGCNet(nn.Module):
         # HBM in the backward pass without rematerialization
         block, convbn, deconvbn = Conv3DBlock, ConvBN3D, DeconvBN3D
         if self.remat:
-            block = nn.remat(Conv3DBlock, static_argnums=(2,))
-            convbn = nn.remat(ConvBN3D, static_argnums=(2,))
+            block = nn.remat(Conv3DBlock, static_argnums=(2, 3))
+            convbn = nn.remat(ConvBN3D, static_argnums=(2, 3, 4))
             deconvbn = nn.remat(DeconvBN3D, static_argnums=(2,))
 
-        x = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(x, train))
-        x = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_2")(x, train))
-        res_l20 = x
-        x = block(2 * F, 2, dtype=dt, name="block_3d_1")(x, train)
+        # Eval runs the full-resolution stem in the packed H,W space-to-depth
+        # layout (layers.py:conv3d_s1_hw_packed): cout=32 stride-1 convs only
+        # reach 25% MXU N-dim utilization unpacked (6.7 ms each at bench
+        # shapes); packing 4 output phases into channels gives N=128 at 1.78x
+        # padded FLOPs, and block_3d_1's stride-2 conv consumes the packed
+        # tensor directly. Train mode keeps the full-res path: packed-layout
+        # BN would fold the shifted halo's zeros into batch statistics.
+        N_, D_, H_, W_, _ = x.shape
+        use_packed = (not train and H_ % 2 == 0 and W_ % 2 == 0
+                      and D_ % 2 == 0 and H_ >= 4 and W_ >= 4)
+        if use_packed:
+            xp = hw_pack(x)
+            x1 = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(
+                xp, train, "std", "shift"))
+            x2 = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_2")(
+                x1, train, "shift", "std"))
+            res_l20 = hw_unpack(x2)
+            x = block(2 * F, 2, dtype=dt, name="block_3d_1")(x2, train, "std")
+        else:
+            x = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(
+                x, train, "full", "full"))
+            x = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_2")(
+                x, train, "full", "full"))
+            res_l20 = x
+            x = block(2 * F, 2, dtype=dt, name="block_3d_1")(x, train, "full")
         res_l23 = x
-        x = block(2 * F, 2, dtype=dt, name="block_3d_2")(x, train)
+        x = block(2 * F, 2, dtype=dt, name="block_3d_2")(x, train, "full")
         res_l26 = x
-        x = block(2 * F, 2, dtype=dt, name="block_3d_3")(x, train)
+        x = block(2 * F, 2, dtype=dt, name="block_3d_3")(x, train, "full")
         res_l29 = x
-        x = block(4 * F, 2, dtype=dt, name="block_3d_4")(x, train)
+        x = block(4 * F, 2, dtype=dt, name="block_3d_4")(x, train, "full")
 
         x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn1")(x, train) + res_l29)
         x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn2")(x, train) + res_l26)

@@ -109,7 +109,7 @@ def _hw_block_kernel(kernel: jnp.ndarray, kz: int, dtype) -> jnp.ndarray:
 
 
 def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
-                     dtype) -> jnp.ndarray:
+                     dtype, packed_input: bool = False) -> jnp.ndarray:
     """k=3, stride-2, pad-1 conv3d via H,W space-to-depth + D-parity split.
 
     XLA's native stride-2 conv3d is the encoder's worst MXU shape (~6-7
@@ -125,13 +125,20 @@ def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
     """
     kd, kh, kw, cin, cout = kernel.shape
     assert (kd, kh, kw) == (3, 3, 3)
-    N, D, H, W, _ = x.shape
-    assert D % 2 == 0 and H % 2 == 0 and W % 2 == 0
-    D2, H2, W2 = D // 2, H // 2, W // 2
-    x = x.astype(dtype)
-    xs = x.reshape(N, D, H2, 2, W2, 2, cin)
-    xs = jnp.transpose(xs, (0, 1, 2, 4, 3, 5, 6)).reshape(N, D, H2, W2,
-                                                          4 * cin)
+    if packed_input:
+        # input already in hw_pack layout [N, D, H/2, W/2, 4*cin]
+        N, D, H2, W2, c4 = x.shape
+        assert c4 == 4 * cin and D % 2 == 0
+        D2 = D // 2
+        xs = x.astype(dtype)
+    else:
+        N, D, H, W, _ = x.shape
+        assert D % 2 == 0 and H % 2 == 0 and W % 2 == 0
+        D2, H2, W2 = D // 2, H // 2, W // 2
+        x = x.astype(dtype)
+        xs = x.reshape(N, D, H2, 2, W2, 2, cin)
+        xs = jnp.transpose(xs, (0, 1, 2, 4, 3, 5, 6)).reshape(N, D, H2, W2,
+                                                              4 * cin)
     xe = xs[:, 0::2]                                   # planes 2m
     xo = xs[:, 1::2]                                   # planes 2m+1
     xo_m1 = jnp.pad(xo, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :D2]
@@ -147,6 +154,110 @@ def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
     return (c2d(xe, _hw_block_kernel(kernel, 1, dtype)) +
             c2d(xo, _hw_block_kernel(kernel, 2, dtype)) +
             c2d(xo_m1, _hw_block_kernel(kernel, 0, dtype)))
+
+
+def hw_pack(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, D, H, W, C] -> H,W space-to-depth packed [N, D, H/2, W/2, 4C].
+
+    Channel order (oh, ow, c) — block (bh, bw) channel (oh*2+ow)*C + c holds
+    full-res voxel (2bh+oh, 2bw+ow, c). Matches `_hw_block_kernel`'s input
+    convention, so `conv3d_s2_hw_s2d` can consume pre-packed input."""
+    N, D, H, W, C = x.shape
+    assert H % 2 == 0 and W % 2 == 0
+    xs = x.reshape(N, D, H // 2, 2, W // 2, 2, C)
+    return jnp.transpose(xs, (0, 1, 2, 4, 3, 5, 6)).reshape(
+        N, D, H // 2, W // 2, 4 * C)
+
+
+def hw_unpack(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `hw_pack`: [N, D, Hb, Wb, 4C] -> [N, D, 2Hb, 2Wb, C]."""
+    N, D, Hb, Wb, C4 = x.shape
+    C = C4 // 4
+    xs = x.reshape(N, D, Hb, Wb, 2, 2, C)
+    return jnp.transpose(xs, (0, 1, 2, 4, 3, 5, 6)).reshape(
+        N, D, 2 * Hb, 2 * Wb, C)
+
+
+def _s1_packed_kernel(k2d: jnp.ndarray, dtype) -> jnp.ndarray:
+    """K[3,3,cin,cout] -> packed block kernel [2,2,4cin,4cout] for the
+    stride-1 conv in H,W space-to-depth layout.
+
+    Output block phase p at full-res row 2j+p (std alignment) or 2j-1+p
+    (shifted) reads input block offset b, phase q at tap dy = 2b + q - p
+    (zero outside 0..2). 6 of 8 (b,q,p) slots are live per axis -> (4/3)^2 =
+    1.78x padded FLOPs, but the GEMM N dim becomes 4*cout (full 128-lane MXU
+    utilization for cout=32, vs 25% unpacked). Channel order (ph, pw, c) on
+    both sides."""
+    cin, cout = k2d.shape[2], k2d.shape[3]
+    kp = np.zeros((2, 2, 2, 2, 2, 2), np.float32)  # [bh,bw,qh,qw,ph,pw]
+    sel = np.zeros((2, 2, 2, 2, 2, 2, 2), np.int64)  # + (dy,dx)
+    for bh in range(2):
+        for qh in range(2):
+            for ph in range(2):
+                dy = 2 * bh + qh - ph
+                if not 0 <= dy <= 2:
+                    continue
+                for bw in range(2):
+                    for qw in range(2):
+                        for pw in range(2):
+                            dx = 2 * bw + qw - pw
+                            if not 0 <= dx <= 2:
+                                continue
+                            kp[bh, bw, qh, qw, ph, pw] = 1.0
+                            sel[bh, bw, qh, qw, ph, pw] = (dy, dx)
+    # gather k2d[dy, dx] per live slot; dead slots masked to zero
+    out = (k2d[sel[..., 0], sel[..., 1]]
+           * jnp.asarray(kp)[..., None, None])    # [2,2,2,2,2,2,cin,cout]
+    # in channels (qh, qw, cin) -> axes (2,3,6); out (ph, pw, cout) -> (4,5,7)
+    out = jnp.transpose(out, (0, 1, 2, 3, 6, 4, 5, 7))
+    return out.reshape(2, 2, 4 * cin, 4 * cout).astype(dtype)
+
+
+def conv3d_s1_hw_packed(xp: jnp.ndarray, kernel: jnp.ndarray, dtype,
+                        to_shifted: bool) -> jnp.ndarray:
+    """k=3, stride-1, pad-1 conv3d computed entirely in H,W space-to-depth
+    packed layout (see `hw_pack`).
+
+    Two block alignments alternate through a chain of convs:
+      std:     block j holds full-res rows (2j, 2j+1)       [Hb = H/2]
+      shifted: block j holds full-res rows (2j-1, 2j)       [Hb = H/2 + 1]
+    std->shifted uses block-window 2 with pad (1,1); shifted->std pad (0,0)
+    (the shifted tensor carries the +-1 halo). Shifted halo entries (full-res
+    rows -1 and H, cols -1 and W) must be ZERO on input — callers zero them
+    after any bias add (`zero_shift_halo`). The depth axis stays full-res
+    (3 taps summed, as in `conv3d_ndhwc`'s decomposition)."""
+    N, D, Hb, Wb, c4 = xp.shape
+    cin = c4 // 4
+    cout = kernel.shape[-1]
+    xp = xp.astype(dtype)
+    pad2 = [(1, 1), (1, 1)] if to_shifted else [(0, 0), (0, 0)]
+    xpd = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for dz in range(3):
+        k2 = _s1_packed_kernel(kernel[dz], dtype)
+        sl = xpd[:, dz:dz + D].reshape(N * D, Hb, Wb, c4)
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k2.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(sl, k2, (1, 1), pad2,
+                                         dimension_numbers=dn)
+        out = y if out is None else out + y
+    Ho = Hb + 1 if to_shifted else Hb - 1
+    Wo = Wb + 1 if to_shifted else Wb - 1
+    return out.reshape(N, D, Ho, Wo, 4 * cout)
+
+
+def zero_shift_halo(y: jnp.ndarray) -> jnp.ndarray:
+    """Zero the out-of-image halo entries of a shifted packed tensor
+    (full-res rows -1 / H live at block 0 phase 0 / block Hb-1 phase 1;
+    likewise for W). Channel order (ph, pw, c), c = channels // 4."""
+    C = y.shape[-1] // 4
+    y = y.at[:, :, 0, :, :2 * C].set(0)            # row -1  (ph = 0)
+    y = y.at[:, :, -1, :, 2 * C:].set(0)           # row H   (ph = 1)
+    y = y.at[:, :, :, 0, :C].set(0)                # col -1  (pw = 0)
+    y = y.at[:, :, :, 0, 2 * C:3 * C].set(0)
+    y = y.at[:, :, :, -1, C:2 * C].set(0)          # col W   (pw = 1)
+    y = y.at[:, :, :, -1, 3 * C:].set(0)
+    return y
 
 
 class Conv3D(nn.Module):
@@ -211,9 +322,16 @@ class ConvBN3D(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, lin: str = "full", lout: str = "full"):
+        """lin/lout select the EVAL-mode tensor layout: "full" [N,D,H,W,C],
+        "std"/"shift" the packed H,W space-to-depth layouts of
+        `conv3d_s1_hw_packed`. Train mode ignores them (callers pass full-res
+        input when train=True; packed-layout BN would fold the shifted halo's
+        zero-padding into the batch statistics)."""
         k = self.kernel
-        kernel = _KernelHolder((k, k, k, x.shape[-1], self.features), k,
+        packed_in = (not train) and lin in ("std", "shift")
+        cin = x.shape[-1] // (4 if packed_in else 1)
+        kernel = _KernelHolder((k, k, k, cin, self.features), k,
                                name="conv")()
         bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=jnp.float32,
@@ -224,8 +342,19 @@ class ConvBN3D(nn.Module):
             return bn(x.astype(jnp.float32)).astype(self.dtype)
         a, b = _bn_affine(bn, self.features)
         kf = (kernel.astype(jnp.float32) * a).astype(self.dtype)
-        y = conv3d_ndhwc(x, kf, self.stride, k // 2, self.dtype)
-        y = y + b.astype(self.dtype)
+        if packed_in and self.stride == 1 and k == 3:
+            assert lin != lout, "packed s1 conv alternates std<->shift"
+            y = conv3d_s1_hw_packed(x, kf, self.dtype,
+                                    to_shifted=(lout == "shift"))
+            y = y + jnp.tile(b, 4).astype(self.dtype)
+            if lout == "shift":
+                y = zero_shift_halo(y)   # callers relu after; relu(0) == 0
+        elif packed_in and self.stride == 2 and k == 3:
+            y = conv3d_s2_hw_s2d(x, kf, self.dtype, packed_input=True)
+            y = y + b.astype(self.dtype)
+        else:
+            y = conv3d_ndhwc(x, kf, self.stride, k // 2, self.dtype)
+            y = y + b.astype(self.dtype)
         return pmesh.constrain_volume(y)
 
 
@@ -414,9 +543,10 @@ class Conv3DBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, lin_first: str = "full"):
         x = nn.relu(ConvBN3D(self.features, self.stride, self.kernel,
-                             self.dtype, name="convbn_3d_1")(x, train))
+                             self.dtype, name="convbn_3d_1")(
+                                 x, train, lin_first, "full"))
         x = nn.relu(ConvBN3D(self.features, 1, self.kernel,
                              self.dtype, name="convbn_3d_2")(x, train))
         x = nn.relu(ConvBN3D(self.features, 1, self.kernel,

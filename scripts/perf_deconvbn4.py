@@ -53,6 +53,32 @@ def main():
     scan_time(lambda a: deconv3d_apply(a, k, 2, dt), "dense deconv bare")
     scan_time(lambda a: deconv3d_apply(a, k, 2, dt) + b, "dense deconv + bias")
     scan_time(lambda a: deconv3d_subpixel(a, k, 2, dt) + b, "subpixel deconv + bias")
+    scan_time(lambda a: deconv3d_apply(a, k, 2, dt, "conv_shuffle") + b,
+              "conv_shuffle deconv + bias")
+
+    # conv_shuffle WITHOUT the final depth-to-space: output stays phase-packed
+    # [N, D, H, W, 8*cout] — isolates the packed conv from the interleave.
+    from msnets_tpu.models.layers import _deconv_phase_taps
+    taps = _deconv_phase_taps(2)
+    k2 = jnp.zeros((2, 2, 2, cin, 8 * cout), k.dtype)
+    for pz in range(2):
+        for ph in range(2):
+            for pw in range(2):
+                phase = (pz * 2 + ph) * 2 + pw
+                for kz, oz in taps[pz]:
+                    for ky, oy in taps[ph]:
+                        for kx, ox in taps[pw]:
+                            k2 = k2.at[oz, oy, ox, :,
+                                       phase * cout:(phase + 1) * cout].set(
+                                k[kz, ky, kx])
+    k2 = jnp.asarray(k2, dt)
+
+    def packed_only(a):
+        dn = jax.lax.conv_dimension_numbers(
+            a.shape, k2.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(
+            a, k2, (1, 1, 1), [(0, 1)] * 3, dimension_numbers=dn)
+    scan_time(packed_only, "conv_shuffle packed conv only (no shuffle)")
 
     m = DeconvBN3D(cout, dtype=dt)
     v = m.init(jax.random.PRNGKey(0), x, False)

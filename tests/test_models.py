@@ -223,3 +223,32 @@ def test_bn_folding_nontrivial_stats(cls_name):
         y = L.deconv3d_apply(x, kernel, 2, jnp.float32)
     ref = (y - mu) / jnp.sqrt(var + 1e-5) * gamma + beta
     np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_conv3d_s1_hw_packed_chain_matches_full():
+    """The packed-layout stride-1 conv chain (std -> shifted -> std, with the
+    relu + halo-zero between, layers.py:conv3d_s1_hw_packed) must reproduce
+    two chained full-resolution convs, and the stride-2 conv must accept the
+    packed tensor directly (packed_input=True)."""
+    from msnets_tpu.models.layers import (conv3d_ndhwc, conv3d_s1_hw_packed,
+                                          conv3d_s2_hw_s2d, hw_pack,
+                                          hw_unpack, zero_shift_halo)
+    rng = np.random.default_rng(3)
+    N, D, H, W, cin, cmid, cout = 2, 4, 8, 12, 5, 7, 4
+    x = jnp.asarray(rng.standard_normal((N, D, H, W, cin)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cmid)), jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, 3, cmid, cout)), jnp.float32)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, 3, cout, 3)), jnp.float32)
+
+    r1 = jax.nn.relu(conv3d_ndhwc(x, k1, 1, 1, jnp.float32))
+    r2 = jax.nn.relu(conv3d_ndhwc(r1, k2, 1, 1, jnp.float32))
+    r3 = conv3d_ndhwc(r2, k3, 2, 1, jnp.float32, decompose=False)
+
+    p1 = zero_shift_halo(jax.nn.relu(
+        conv3d_s1_hw_packed(hw_pack(x), k1, jnp.float32, True)))
+    p2 = jax.nn.relu(conv3d_s1_hw_packed(p1, k2, jnp.float32, False))
+    np.testing.assert_allclose(np.asarray(hw_unpack(p2)), np.asarray(r2),
+                               rtol=1e-4, atol=1e-4)
+    p3 = conv3d_s2_hw_s2d(p2, k3, jnp.float32, packed_input=True)
+    np.testing.assert_allclose(np.asarray(p3), np.asarray(r3),
+                               rtol=1e-4, atol=1e-4)
