@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (Conv3DBlock, ConvBN3D, Deconv3D, DeconvBN3D,
-                     SubpixelSoftArgminHead, hw_pack, hw_unpack, soft_argmin)
+                     SubpixelSoftArgminHead, d_split_pack, hw_pack, hw_unpack,
+                     soft_argmin)
 
 
 class MSGCNet(nn.Module):
@@ -49,7 +50,7 @@ class MSGCNet(nn.Module):
         if self.remat:
             block = nn.remat(Conv3DBlock, static_argnums=(2, 3))
             convbn = nn.remat(ConvBN3D, static_argnums=(2, 3, 4))
-            deconvbn = nn.remat(DeconvBN3D, static_argnums=(2,))
+            deconvbn = nn.remat(DeconvBN3D, static_argnums=(2, 3))
 
         # Eval runs the full-resolution stem in the packed H,W space-to-depth
         # layout (layers.py:conv3d_s1_hw_packed): cout=32 stride-1 convs only
@@ -61,13 +62,16 @@ class MSGCNet(nn.Module):
         N_, D_, H_, W_, _ = x.shape
         use_packed = (not train and H_ % 2 == 0 and W_ % 2 == 0
                       and D_ % 2 == 0 and H_ >= 4 and W_ >= 4)
+        res_l20p = None
         if use_packed:
             xp = hw_pack(x)
             x1 = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(
                 xp, train, "std", "shift"))
             x2 = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_2")(
                 x1, train, "shift", "std"))
-            res_l20 = hw_unpack(x2)
+            res_l20, res_l20p = None, x2      # stays packed; see decoder tail
+            if self.quarter_input:            # x4 tail can't consume packed
+                res_l20, res_l20p = hw_unpack(x2), None
             x = block(2 * F, 2, dtype=dt, name="block_3d_1")(x2, train, "std")
         else:
             x = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(
@@ -83,14 +87,29 @@ class MSGCNet(nn.Module):
         res_l29 = x
         x = block(4 * F, 2, dtype=dt, name="block_3d_4")(x, train, "full")
 
-        x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn1")(x, train) + res_l29)
-        x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn2")(x, train) + res_l26)
-        x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn3")(x, train) + res_l23)
-        x = nn.relu(deconvbn(F, dtype=dt, name="deconvbn4")(x, train) + res_l20)
+        x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn1")(
+            x, train, "full") + res_l29)
+        x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn2")(
+            x, train, "full") + res_l26)
+        x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn3")(
+            x, train, "full") + res_l23)
 
         # reference deconv5 is a bare nn.ConvTranspose3d (default bias=True)
         # + softmax + soft-argmin; fused into the subpixel head (layers.py)
         stride = 4 if self.quarter_input else 2
+        if res_l20p is not None and stride == 2:
+            # deconvbn4's output never leaves the phase-packed layout (the
+            # depth-to-space interleave alone measured 6.5 ms at bench
+            # shapes); the skip joins via a cheap depth-parity re-pack and
+            # the head consumes the packed volume directly.
+            y4 = deconvbn(F, dtype=dt, name="deconvbn4")(x, train, "packed3d")
+            x = nn.relu(y4 + d_split_pack(res_l20p))
+            assert x.shape[1] * 4 == self.max_disp, \
+                f"{x.shape[1] * 4} != {self.max_disp}"
+            return SubpixelSoftArgminHead(stride=2, dtype=dt,
+                                          name="deconv5")(x, True)
+        x = nn.relu(deconvbn(F, dtype=dt, name="deconvbn4")(
+            x, train, "full") + res_l20)
         assert x.shape[1] * stride == self.max_disp, \
             f"{x.shape[1] * stride} != {self.max_disp}"
         return SubpixelSoftArgminHead(stride=stride, dtype=dt,

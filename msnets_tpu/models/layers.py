@@ -422,6 +422,68 @@ def deconv3d_subpixel(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     return y.reshape(N, s * D, s * H, s * W, cout)
 
 
+def _conv_shuffle_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose3d(k=3, s=2, p=1, op=1) kernel -> packed block kernel
+    K2[oz, oy, ox, ci, phase*cout + co] for the window-2 conv whose output
+    channel group `phase` = (pz*2+ph)*2+pw holds the deconv's output phase
+    (pz, ph, pw). Built with a static 0/1 selector so tracing costs one
+    einsum, not 27 scatter updates."""
+    cin, cout = kernel.shape[3], kernel.shape[4]
+    taps = _deconv_phase_taps(2)          # per-dim (kd, off) pairs
+    sel = np.zeros((2, 2, 2, 27, 8), np.float32)   # [oz,oy,ox,tap,phase]
+    for pz in range(2):
+        for ph in range(2):
+            for pw in range(2):
+                phase = (pz * 2 + ph) * 2 + pw
+                for kz, oz in taps[pz]:
+                    for ky, oy in taps[ph]:
+                        for kx, ox in taps[pw]:
+                            sel[oz, oy, ox, (kz * 3 + ky) * 3 + kx, phase] = 1
+    kflat = kernel.reshape(27, cin, cout)
+    k2 = jnp.einsum("zyxtp,tio->zyxipo", jnp.asarray(sel), kflat)
+    return k2.reshape(2, 2, 2, cin, 8 * cout)
+
+
+def deconv3d_s2_packed_out(x: jnp.ndarray, kernel: jnp.ndarray,
+                           dtype) -> jnp.ndarray:
+    """ConvTranspose3d(k=3, s=2, p=1, op=1) with the output LEFT in packed
+    phase layout [N, D, H, W, 8*cout], channels (pz, ph, pw, co): entry
+    (B, phase) is the deconv output at full-res coordinate 2*B + phase.
+
+    The depth-to-space interleave of the full-res output measured 6.5 ms of
+    deconvbn4's 9.4 ms on v5e (scripts/perf_deconvbn4.py) — downstream
+    consumers that accept the packed layout (skip-add + packed head) never
+    pay it. Lowered as 2 depth-tap 2-D convs (contraction 4*cin, N=8*cout)
+    summed, like conv3d_ndhwc's decomposition."""
+    N, D, H, W, cin = x.shape
+    cout = kernel.shape[-1]
+    k2 = _conv_shuffle_kernel(kernel).astype(dtype)
+    x = x.astype(dtype)
+    xpd = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for bz in range(2):
+        sl = xpd[:, bz:bz + D].reshape(N * D, H, W, cin)
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k2[bz].shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(sl, k2[bz], (1, 1),
+                                         [(0, 1), (0, 1)],
+                                         dimension_numbers=dn)
+        out = y if out is None else out + y
+    return out.reshape(N, D, H, W, 8 * cout)
+
+
+def d_split_pack(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, D, Hb, Wb, 4C] packed-std (qh, qw, c) -> [N, D/2, Hb, Wb, 8C]
+    packed-3d (qd, qh, qw, c): folds the depth parity into channels so a
+    full-res volume can meet a `deconv3d_s2_packed_out` output elementwise.
+    Moves a major axis only (channels stay minor) — near-bandwidth on TPU,
+    unlike the lane-crossing depth-to-space interleave."""
+    N, D, Hb, Wb, C4 = x.shape
+    xs = x.reshape(N, D // 2, 2, Hb, Wb, C4)
+    return jnp.transpose(xs, (0, 1, 3, 4, 2, 5)).reshape(
+        N, D // 2, Hb, Wb, 2 * C4)
+
+
 def deconv3d_conv_shuffle(x: jnp.ndarray, kernel: jnp.ndarray,
                           dtype) -> jnp.ndarray:
     """ConvTranspose3d(k=3, s=2, p=1, op=1) as ONE k=2^3 conv + pixel shuffle.
@@ -434,19 +496,7 @@ def deconv3d_conv_shuffle(x: jnp.ndarray, kernel: jnp.ndarray,
     """
     N, D, H, W, cin = x.shape
     cout = kernel.shape[-1]
-    taps = _deconv_phase_taps(2)          # per-dim (kd, off) pairs
-    # K2[oz, oy, ox, ci, phase*cout + co]
-    k2 = jnp.zeros((2, 2, 2, cin, 8 * cout), kernel.dtype)
-    for pz in range(2):
-        for ph in range(2):
-            for pw in range(2):
-                phase = (pz * 2 + ph) * 2 + pw
-                for kz, oz in taps[pz]:
-                    for ky, oy in taps[ph]:
-                        for kx, ox in taps[pw]:
-                            k2 = k2.at[oz, oy, ox, :,
-                                       phase * cout:(phase + 1) * cout].set(
-                                kernel[kz, ky, kx])
+    k2 = _conv_shuffle_kernel(kernel)
     dn = jax.lax.conv_dimension_numbers(
         x.shape, k2.shape, ("NDHWC", "DHWIO", "NDHWC"))
     y = jax.lax.conv_general_dilated(
@@ -517,7 +567,9 @@ class DeconvBN3D(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, lout: str = "full"):
+        """lout="packed3d" (eval, stride 2 only) returns the deconv output in
+        `deconv3d_s2_packed_out`'s phase-packed layout [N, D, H, W, 8C]."""
         k = self.kernel
         kernel = _KernelHolder((k, k, k, x.shape[-1], self.features), k,
                                name="deconv")()
@@ -530,8 +582,12 @@ class DeconvBN3D(nn.Module):
             return bn(x.astype(jnp.float32)).astype(self.dtype)
         a, b = _bn_affine(bn, self.features)
         kf = (kernel.astype(jnp.float32) * a).astype(self.dtype)
-        y = deconv3d_apply(x, kf, self.stride, self.dtype)
-        y = y + b.astype(self.dtype)
+        if lout == "packed3d" and self.stride == 2 and k == 3:
+            y = deconv3d_s2_packed_out(x, kf, self.dtype)
+            y = y + jnp.tile(b, 8).astype(self.dtype)
+        else:
+            y = deconv3d_apply(x, kf, self.stride, self.dtype)
+            y = y + b.astype(self.dtype)
         return pmesh.constrain_volume(y)
 
 
@@ -608,11 +664,18 @@ class SubpixelSoftArgminHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        N, D, H, W, cin = x.shape
-        s = self.stride
+    def __call__(self, x, packed: bool = False):
+        if packed:
+            assert self.stride == 2, "packed head supports stride 2"
+            cin = x.shape[-1] // 8
+        else:
+            cin = x.shape[-1]
         kernel = self.param("kernel", he_normal_msnets(3), (3, 3, 3, cin, 1))
         self.param("bias", nn.initializers.zeros, (1,))  # parity; cancels
+        if packed:
+            return self._packed(x, kernel)
+        N, D, H, W, _ = x.shape
+        s = self.stride
         x = x.astype(self.dtype)
         taps = _deconv_phase_taps(s)
         # One GEMM projects all 27 kernel taps at once (27 separate M=1
@@ -658,6 +721,74 @@ class SubpixelSoftArgminHead(nn.Module):
         # grid: [ph, pw, N, H, W] -> [N, H, ph, W, pw]
         grid = jnp.transpose(grid, (2, 3, 0, 4, 1))
         return grid.reshape(N, s * H, s * W)
+
+    def _packed(self, x, kernel):
+        """Head on packed-3d input [N, Db, Hb, Wb, 8*cin], channels
+        (qd, qh, qw, c) — entry (B, q) is the volume at full input-res
+        coordinate 2B + q (the layout `deconv3d_s2_packed_out` + skip-add
+        leave the decoder output in).
+
+        The whole deconv5 collapses to ONE window-2 block conv: logits for
+        output phase p = (pz, ph, pw) at input coordinate m = 2B + q read
+        input m + off, i.e. block B + ((q+off)>>1), parity (q+off)&1 — a
+        static per-(p, q, tap) selector, so all 64 (p, q) logit channels come
+        from a single conv with contraction 8*cin (vs the unpacked path's 27-
+        channel tap GEMM at 3% MXU N-utilization, plus no 100 MB depth-to-
+        space on the decoder output). Softmax statistics then reduce over
+        (Db, pz, qd) jointly (the full 4*Db disparity states) per spatial
+        phase, and only the four [N, Hb*2, Wb*2] disparity maps are
+        interleaved at the end."""
+        N, Db, Hb, Wb, c8 = x.shape
+        cin = c8 // 8
+        taps = _deconv_phase_taps(2)
+        S = np.zeros((2, 2, 2, 8, 27, 64), np.float32)  # [b3, qin, tap, p*8+q]
+        for pz in range(2):
+            for ph in range(2):
+                for pw in range(2):
+                    p = (pz * 2 + ph) * 2 + pw
+                    for qd in range(2):
+                        for qh in range(2):
+                            for qw in range(2):
+                                q = (qd * 2 + qh) * 2 + qw
+                                for kz, oz in taps[pz]:
+                                    for ky, oy in taps[ph]:
+                                        for kx, ox in taps[pw]:
+                                            sd, sh, sw = qd + oz, qh + oy, qw + ox
+                                            S[sd >> 1, sh >> 1, sw >> 1,
+                                              ((sd & 1) * 2 + (sh & 1)) * 2 + (sw & 1),
+                                              (kz * 3 + ky) * 3 + kx,
+                                              p * 8 + q] = 1.0
+        kflat = kernel.reshape(27, cin).astype(jnp.float32)
+        kbig = jnp.einsum("zhwqtp,tc->zhwqcp", jnp.asarray(S), kflat)
+        kbig = kbig.reshape(2, 2, 2, 8 * cin, 64).astype(self.dtype)
+
+        # window-2 conv, decomposed into 2 depth-tap 2-D convs
+        xq = x.astype(self.dtype)
+        xpd = jnp.pad(xq, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+        L = None
+        for bz in range(2):
+            sl = xpd[:, bz:bz + Db].reshape(N * Db, Hb, Wb, c8)
+            dn = jax.lax.conv_dimension_numbers(sl.shape, kbig[bz].shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                sl, kbig[bz], (1, 1), [(0, 1), (0, 1)],
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+            L = y if L is None else L + y
+        # [N, Db, Hb, Wb, (pz, ph, pw, qd, qh, qw)]
+        L = L.reshape(N, Db, Hb, Wb, 2, 2, 2, 2, 2, 2)
+        red = (1, 4, 7)                       # Db, pz, qd: disparity states
+        gmax = L.max(axis=red, keepdims=True)
+        e = jnp.exp(L - gmax)
+        den = e.sum(axis=red)                 # [N, Hb, Wb, ph, pw, qh, qw]
+        ar2 = jnp.arange(2, dtype=jnp.float32)
+        w = (4.0 * jnp.arange(Db, dtype=jnp.float32)[:, None, None]
+             + ar2[None, :, None] + 2.0 * ar2[None, None, :])  # [Db, pz, qd]
+        num = jnp.einsum("nahwzyxdef,azd->nhwyxef", e, w)
+        disp = num / den                      # [N, Hb, Wb, ph, pw, qh, qw]
+        # output row = 4*Bh + 2*qh + ph, col = 4*Bw + 2*qw + pw
+        out = jnp.transpose(disp, (0, 1, 5, 3, 2, 6, 4))
+        return out.reshape(N, 4 * Hb, 4 * Wb)
 
 
 def soft_argmin(logits_ndhw: jnp.ndarray, max_disp: int) -> jnp.ndarray:
