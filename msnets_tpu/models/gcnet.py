@@ -24,8 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (Conv3DBlock, ConvBN3D, Deconv3D, DeconvBN3D,
-                     SubpixelSoftArgminHead, d_split_pack, hw_pack, hw_unpack,
-                     soft_argmin)
+                     SubpixelSoftArgminHead, d_split_pack, hw_unpack, soft_argmin)
 
 
 class MSGCNet(nn.Module):
@@ -64,9 +63,11 @@ class MSGCNet(nn.Module):
                       and D_ % 2 == 0 and H_ >= 4 and W_ >= 4)
         res_l20p = None
         if use_packed:
-            xp = hw_pack(x)
+            # conv1 enters the packed world directly from the full-res volume
+            # (stride-2 expanded kernel — an explicit hw_pack transpose of
+            # the 8-channel input costs 4.9 ms on v5e)
             x1 = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(
-                xp, train, "std", "shift"))
+                x, train, "full", "shift"))
             x2 = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_2")(
                 x1, train, "shift", "std"))
             res_l20, res_l20p = None, x2      # stays packed; see decoder tail

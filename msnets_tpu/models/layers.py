@@ -246,6 +246,48 @@ def conv3d_s1_hw_packed(xp: jnp.ndarray, kernel: jnp.ndarray, dtype,
     return out.reshape(N, D, Ho, Wo, 4 * cout)
 
 
+def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
+                             to_shifted: bool) -> jnp.ndarray:
+    """k=3, stride-1, pad-1 conv3d reading FULL-res input and writing packed
+    H,W space-to-depth output — the entry point into the packed world.
+
+    An explicit `hw_pack` transpose of the 8-channel input volume costs
+    4.9 ms on v5e (minor-dim 8 -> 94% tile-padding waste); instead the four
+    output phases p of each 2x2 block are computed by ONE stride-2 conv with
+    a 4x4 expanded kernel K4[p + dy, p + dx] = K[dy, dx] (window rows
+    2bh-1..2bh+2 for std alignment, 2bh-2..2bh+1 shifted), writing channels
+    (ph, pw, c). 2.31 ms at bench shapes vs 4.85 + 3.16 for pack + packed
+    conv (scripts/perf_pack_lowerings.py). Shifted output carries the usual
+    out-of-image halo — callers zero it (`zero_shift_halo`)."""
+    N, D, H, W, cin = x.shape
+    cout = kernel.shape[-1]
+    x = x.astype(dtype)
+    S = np.zeros((4, 4, 3, 3, 4), np.float32)   # [t_h, t_w, dy, dx, p]
+    for ph in range(2):
+        for pw in range(2):
+            p = ph * 2 + pw
+            for dy in range(3):
+                for dx in range(3):
+                    S[ph + dy, pw + dx, dy, dx, p] = 1.0
+    Sj = jnp.asarray(S)
+    pad2 = [(2, 2), (2, 2)] if to_shifted else [(1, 2), (1, 2)]
+    xpd = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for dz in range(3):
+        k4 = jnp.einsum("twyxp,yxio->twipo", Sj,
+                        kernel[dz].astype(jnp.float32)).reshape(
+            4, 4, cin, 4 * cout).astype(dtype)
+        sl = xpd[:, dz:dz + D].reshape(N * D, H, W, cin)
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k4.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(sl, k4, (2, 2), pad2,
+                                         dimension_numbers=dn)
+        out = y if out is None else out + y
+    Hb = H // 2 + 1 if to_shifted else H // 2
+    Wb = W // 2 + 1 if to_shifted else W // 2
+    return out.reshape(N, D, Hb, Wb, 4 * cout)
+
+
 def zero_shift_halo(y: jnp.ndarray) -> jnp.ndarray:
     """Zero the out-of-image halo entries of a shifted packed tensor
     (full-res rows -1 / H live at block 0 phase 0 / block Hb-1 phase 1;
@@ -342,10 +384,15 @@ class ConvBN3D(nn.Module):
             return bn(x.astype(jnp.float32)).astype(self.dtype)
         a, b = _bn_affine(bn, self.features)
         kf = (kernel.astype(jnp.float32) * a).astype(self.dtype)
-        if packed_in and self.stride == 1 and k == 3:
-            assert lin != lout, "packed s1 conv alternates std<->shift"
-            y = conv3d_s1_hw_packed(x, kf, self.dtype,
-                                    to_shifted=(lout == "shift"))
+        packed_out = (not train) and lin == "full" and lout in ("std", "shift")
+        if (packed_in or packed_out) and self.stride == 1 and k == 3:
+            if packed_out:
+                y = conv3d_s1_full_to_packed(x, kf, self.dtype,
+                                             to_shifted=(lout == "shift"))
+            else:
+                assert lin != lout, "packed s1 conv alternates std<->shift"
+                y = conv3d_s1_hw_packed(x, kf, self.dtype,
+                                        to_shifted=(lout == "shift"))
             y = y + jnp.tile(b, 4).astype(self.dtype)
             if lout == "shift":
                 y = zero_shift_halo(y)   # callers relu after; relu(0) == 0

@@ -252,3 +252,39 @@ def test_conv3d_s1_hw_packed_chain_matches_full():
     p3 = conv3d_s2_hw_s2d(p2, k3, jnp.float32, packed_input=True)
     np.testing.assert_allclose(np.asarray(p3), np.asarray(r3),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_subpixel_head_packed_matches_unpacked():
+    """The packed head (layers.py:SubpixelSoftArgminHead._packed) must agree
+    with the unpacked head given the same params and the same volume."""
+    from msnets_tpu.models.layers import SubpixelSoftArgminHead
+    rng = np.random.default_rng(7)
+    N, D, H, W, C = 2, 8, 8, 12, 6
+    x = jnp.asarray(rng.standard_normal((N, D, H, W, C)), jnp.float32)
+    head = SubpixelSoftArgminHead(stride=2, dtype=jnp.float32)
+    v = head.init(jax.random.PRNGKey(0), x)
+    ref = head.apply(v, x)
+    # full -> packed3d: channels (qd, qh, qw, c)
+    xp = x.reshape(N, D // 2, 2, H // 2, 2, W // 2, 2, C)
+    xp = jnp.transpose(xp, (0, 1, 3, 5, 2, 4, 6, 7)).reshape(
+        N, D // 2, H // 2, W // 2, 8 * C)
+    got = head.apply(v, xp, True)
+    assert got.shape == ref.shape == (N, 2 * H, 2 * W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_deconv3d_s2_packed_out_matches_dense():
+    """deconv3d_s2_packed_out + manual interleave == dense ConvTranspose."""
+    from msnets_tpu.models.layers import deconv3d_apply, deconv3d_s2_packed_out
+    rng = np.random.default_rng(9)
+    N, D, H, W, cin, cout = 2, 3, 4, 5, 6, 4
+    x = jnp.asarray(rng.standard_normal((N, D, H, W, cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)), jnp.float32)
+    ref = deconv3d_apply(x, k, 2, jnp.float32)
+    p = deconv3d_s2_packed_out(x, k, jnp.float32)
+    p = p.reshape(N, D, H, W, 2, 2, 2, cout)
+    p = jnp.transpose(p, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
+        N, 2 * D, 2 * H, 2 * W, cout)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
