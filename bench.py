@@ -44,7 +44,8 @@ def build_forward():
 
     @jax.jit
     def fwd(variables, iml, imr):
-        f = jax.vmap(lambda a, b: ms_features_test(a, b, D, mcfg, True))(iml, imr)
+        f = jax.vmap(lambda a, b: ms_features_test(a, b, D, mcfg, True,
+                                                   jnp.bfloat16))(iml, imr)
         return model.apply(variables, f, train=False)
 
     return fwd, variables, iml, imr

@@ -57,9 +57,13 @@ class Evaluator:
             model = self.model
             mesh = self.mesh
 
+            fdt = jnp.bfloat16 if self.cfg.model.compute_dtype == "bfloat16" \
+                else jnp.float32
+
             def fwd(variables, a, b):
                 from ..parallel import mesh as pm
-                f = ms_features_test(a, b, max_disp, mcfg, mcfg.left_only)
+                f = ms_features_test(a, b, max_disp, mcfg, mcfg.left_only,
+                                     fdt)
                 f = f[None]
                 if mesh is not None:
                     f = jax.lax.with_sharding_constraint(

@@ -96,12 +96,14 @@ class Trainer:
         from ..parallel import mesh as pm
 
         accum = self.cfg.train.grad_accum
+        fdt = jnp.bfloat16 if self.cfg.model.compute_dtype == "bfloat16" \
+            else jnp.float32
 
         def micro_grads(params, batch_stats, iml, imr, target):
             """features -> model -> loss -> grads for one micro-batch."""
             feats = jax.vmap(lambda a, b: ms_features_train(
                 a, b, max_disp, mcfg, board_h, bwl, bwr,
-                mcfg.left_only))(iml, imr)
+                mcfg.left_only, fdt))(iml, imr)
             if mesh is not None:
                 feats = jax.lax.with_sharding_constraint(
                     feats, pm.shard(mesh, pm.VOLUME))

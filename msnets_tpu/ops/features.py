@@ -120,8 +120,15 @@ def compute_costs(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
     return trim(c_cen), trim(c_ncc), trim(c_sob), trim(c_sad)
 
 
-def _normalize_stack(c_cen, c_ncc, c_sob, c_sad, cfg: MatchingConfig):
-    """8 channels in [H, W, D, C] order (channels innermost, TPU-friendly)."""
+def _normalize_stack(c_cen, c_ncc, c_sob, c_sad, cfg: MatchingConfig,
+                     out_dtype=jnp.float32):
+    """8 channels in [H, W, D, C] order (channels innermost, TPU-friendly).
+
+    ``out_dtype=bfloat16`` halves the cost of materializing the stacked
+    volume — the channel-minor interleave of eight D-minor cost volumes is
+    a lane-crossing write (~5 ms in f32 at bench shapes, the single biggest
+    feature-stage cost, scripts/perf_feat_layout.py) — and loses nothing on
+    the TPU inference path, which casts the volume to bfloat16 anyway."""
     ch = [
         jnp.clip(c_cen, 0.0, 120.0) / 120.0,
         (1.0 + jnp.clip(c_ncc, -1.0, 1.0)) / 2.0,
@@ -132,17 +139,18 @@ def _normalize_stack(c_cen, c_ncc, c_sob, c_sad, cfg: MatchingConfig):
         M.extract_aml(c_sob, cfg.sad_sigma),  # sad_sigma on purpose (parity)
         M.extract_aml(c_sad, cfg.sad_sigma),
     ]
-    return jnp.stack(ch, axis=-1)
+    return jnp.stack([c.astype(out_dtype) for c in ch], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def assemble_features_left(c_cen, c_ncc, c_sob, c_sad, cfg: MatchingConfig):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def assemble_features_left(c_cen, c_ncc, c_sob, c_sad, cfg: MatchingConfig,
+                           out_dtype=jnp.float32):
     """8-channel MS feature volume, native layout [D, H, W, C].
 
     Semantics of extract_features_left (cbmv_generator.py:258-308); the
     reference's [C, D, H, W] is a transpose away (see to_ncdhw).
     """
-    f = _normalize_stack(c_cen, c_ncc, c_sob, c_sad, cfg)   # [H, W, D, 8]
+    f = _normalize_stack(c_cen, c_ncc, c_sob, c_sad, cfg, out_dtype)
     return jnp.transpose(f, (2, 0, 1, 3))                   # [D, H, W, 8]
 
 
@@ -170,10 +178,11 @@ def from_ncdhw(f_cdhw: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(f_cdhw, -4, -1)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def ms_features(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
                 cfg: MatchingConfig, board_h: int, board_w_left: int,
-                board_w_right: int = 0, left_only: bool = True) -> jnp.ndarray:
+                board_w_right: int = 0, left_only: bool = True,
+                out_dtype=jnp.float32) -> jnp.ndarray:
     """Full device feature stage for a (possibly already downsampled) pair.
 
     uint8 [H, W] x2 -> features [D, H', W', C] with margins trimmed.
@@ -183,14 +192,15 @@ def ms_features(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
     costs = compute_costs(iml, imr, maxdisp, cfg.censw, cfg.nccw, cfg.sadw,
                           cfg.sobelw, board_h, board_w_left, board_w_right)
     if left_only:
-        return assemble_features_left(*costs, cfg)
+        return assemble_features_left(*costs, cfg, out_dtype)
     return assemble_features_lr(*costs, cfg)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def ms_features_train(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
                       cfg: MatchingConfig, board_h: int, board_w_left: int,
-                      board_w_right: int = 0, left_only: bool = True) -> jnp.ndarray:
+                      board_w_right: int = 0, left_only: bool = True,
+                      out_dtype=jnp.float32) -> jnp.ndarray:
     """Train-sample feature stage: downsample by ds_scale, then features.
 
     Mirrors generate_crop_train_cbmv's device-relevant tail
@@ -204,12 +214,14 @@ def ms_features_train(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
     elif s != 1:
         raise NotImplementedError(f"ds_scale={s}")
     return ms_features(iml, imr, maxdisp // s, cfg, board_h // s,
-                       board_w_left // s, board_w_right // s, left_only)
+                       board_w_left // s, board_w_right // s, left_only,
+                       out_dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def ms_features_test(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
-                     cfg: MatchingConfig, left_only: bool = True) -> jnp.ndarray:
+                     cfg: MatchingConfig, left_only: bool = True,
+                     out_dtype=jnp.float32) -> jnp.ndarray:
     """Test-time feature stage (generate_test_cbmv, cbmv_generator.py:727-861).
 
     Inputs are the full-res pair already padded to a multiple of encoder_ds
@@ -227,4 +239,5 @@ def ms_features_test(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
     b = 10
     iml = jnp.pad(iml, ((b, b), (b, b)))
     imr = jnp.pad(imr, ((b, b), (b, b)))
-    return ms_features(iml, imr, maxdisp // s, cfg, b, b, b, left_only)
+    return ms_features(iml, imr, maxdisp // s, cfg, b, b, b, left_only,
+                       out_dtype)
