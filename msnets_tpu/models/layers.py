@@ -246,6 +246,77 @@ def conv3d_s1_hw_packed(xp: jnp.ndarray, kernel: jnp.ndarray, dtype,
     return out.reshape(N, D, Ho, Wo, 4 * cout)
 
 
+def _s1_w_packed_kernel(k2d: jnp.ndarray, dtype) -> jnp.ndarray:
+    """K[3,3,cin,cout] -> [3(kh), 2(bw), 2cin, 2cout] for the stride-1 conv
+    in W-only space-to-depth layout (same tap algebra as `_s1_packed_kernel`
+    on the W axis only: dx = 2b + q - p, zero outside 0..2)."""
+    cin, cout = k2d.shape[2], k2d.shape[3]
+    mask = np.zeros((2, 2, 2), np.float32)       # [bw, qw, pw]
+    sel = np.zeros((2, 2, 2), np.int64)
+    for b in range(2):
+        for q in range(2):
+            for p in range(2):
+                dx = 2 * b + q - p
+                if 0 <= dx <= 2:
+                    mask[b, q, p] = 1.0
+                    sel[b, q, p] = dx
+    out = k2d[:, sel] * jnp.asarray(mask)[None, ..., None, None]
+    # [kh, bw, qw, pw, cin, cout] -> in (qw, cin), out (pw, cout)
+    out = jnp.transpose(out, (0, 1, 2, 4, 3, 5))
+    return out.reshape(3, 2, 2 * cin, 2 * cout).astype(dtype)
+
+
+def conv3d_s1_w_packed(xw: jnp.ndarray, kernel: jnp.ndarray, dtype,
+                       to_shifted: bool) -> jnp.ndarray:
+    """k=3, stride-1, pad-1 conv3d in W-only space-to-depth layout
+    [N, D, H, Wb, 2C] (channel order (qw, c)).
+
+    The W-fold is a FREE reshape of a full-layout tensor (W-major pairs are
+    channel-contiguous), so unlike the 2x2 H,W packing there is no entry
+    transpose at all; the packed GEMM doubles the MXU N-dim (cout 64 -> 128
+    for the encoder block convs) at 4/3 padded FLOPs. Alignments alternate
+    std<->shifted exactly as in `conv3d_s1_hw_packed` (W axis only); the
+    shifted tensor has Wb+1 blocks with an out-of-image halo that callers
+    zero (`zero_w_halo`). H keeps ordinary pad-1 taps."""
+    N, D, Hh, Wb, c2 = xw.shape
+    cin = c2 // 2
+    xw = xw.astype(dtype)
+    padw = (1, 1) if to_shifted else (0, 0)
+    xpd = jnp.pad(xw, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for dz in range(3):
+        k2 = _s1_w_packed_kernel(kernel[dz], dtype)
+        sl = xpd[:, dz:dz + D].reshape(N * D, Hh, Wb, c2)
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k2.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(sl, k2, (1, 1), [(1, 1), padw],
+                                         dimension_numbers=dn)
+        out = y if out is None else out + y
+    Wo = Wb + 1 if to_shifted else Wb - 1
+    return out.reshape(N, D, Hh, Wo, 2 * kernel.shape[-1])
+
+
+def w_fold(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, D, H, W, C] -> [N, D, H, W/2, 2C]: pure reshape (free)."""
+    N, D, H, W, C = x.shape
+    return x.reshape(N, D, H, W // 2, 2 * C)
+
+
+def w_unfold(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `w_fold` (free)."""
+    N, D, H, Wb, C2 = x.shape
+    return x.reshape(N, D, H, 2 * Wb, C2 // 2)
+
+
+def zero_w_halo(y: jnp.ndarray) -> jnp.ndarray:
+    """Zero the out-of-image halo of a W-shifted packed tensor (full-res
+    cols -1 / W at block 0 phase 0 / block Wb-1 phase 1)."""
+    C = y.shape[-1] // 2
+    y = y.at[:, :, :, 0, :C].set(0)
+    y = y.at[:, :, :, -1, C:].set(0)
+    return y
+
+
 def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
                              to_shifted: bool) -> jnp.ndarray:
     """k=3, stride-1, pad-1 conv3d reading FULL-res input and writing packed
@@ -372,7 +443,8 @@ class ConvBN3D(nn.Module):
         zero-padding into the batch statistics)."""
         k = self.kernel
         packed_in = (not train) and lin in ("std", "shift")
-        cin = x.shape[-1] // (4 if packed_in else 1)
+        cin = x.shape[-1] // (4 if packed_in else
+                              2 if (not train and lin == "wshift") else 1)
         kernel = _KernelHolder((k, k, k, cin, self.features), k,
                                name="conv")()
         bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -384,6 +456,18 @@ class ConvBN3D(nn.Module):
             return bn(x.astype(jnp.float32)).astype(self.dtype)
         a, b = _bn_affine(bn, self.features)
         kf = (kernel.astype(jnp.float32) * a).astype(self.dtype)
+        if (not train) and k == 3 and self.stride == 1 and \
+                (lin == "wshift" or lout == "wshift"):
+            # W-only packed layout: free fold/unfold reshapes at the module
+            # boundary, 2x MXU N-util inside (block inner convs, cout 64)
+            if lout == "wshift":                  # full -> wshift
+                y = conv3d_s1_w_packed(w_fold(x), kf, self.dtype, True)
+                y = y + jnp.tile(b, 2).astype(self.dtype)
+                y = zero_w_halo(y)                # caller relus; relu(0)==0
+            else:                                 # wshift -> full
+                y = conv3d_s1_w_packed(x, kf, self.dtype, False)
+                y = w_unfold(y + jnp.tile(b, 2).astype(self.dtype))
+            return pmesh.constrain_volume(y)
         packed_out = (not train) and lin == "full" and lout in ("std", "shift")
         if (packed_in or packed_out) and self.stride == 1 and k == 3:
             if packed_out:
@@ -650,10 +734,17 @@ class Conv3DBlock(nn.Module):
         x = nn.relu(ConvBN3D(self.features, self.stride, self.kernel,
                              self.dtype, name="convbn_3d_1")(
                                  x, train, lin_first, "full"))
+        # eval: the two stride-1 convs run in W-only packed layout (free
+        # fold/unfold, 2x MXU N-util at cout 64); W must be even and >= 4
+        wpack = (not train and self.kernel == 3
+                 and x.shape[3] % 2 == 0 and x.shape[3] >= 4)
+        l2out, l3in = ("wshift", "wshift") if wpack else ("full", "full")
         x = nn.relu(ConvBN3D(self.features, 1, self.kernel,
-                             self.dtype, name="convbn_3d_2")(x, train))
+                             self.dtype, name="convbn_3d_2")(
+                                 x, train, "full", l2out))
         x = nn.relu(ConvBN3D(self.features, 1, self.kernel,
-                             self.dtype, name="convbn_3d_3")(x, train))
+                             self.dtype, name="convbn_3d_3")(
+                                 x, train, l3in, "full"))
         return x
 
 

@@ -288,3 +288,22 @@ def test_deconv3d_s2_packed_out_matches_dense():
         N, 2 * D, 2 * H, 2 * W, cout)
     np.testing.assert_allclose(np.asarray(p), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv3d_s1_w_packed_chain_matches_full():
+    """W-only packed stride-1 conv chain (free fold/unfold reshapes,
+    layers.py:conv3d_s1_w_packed) must reproduce two chained full convs."""
+    from msnets_tpu.models.layers import (conv3d_ndhwc, conv3d_s1_w_packed,
+                                          w_fold, w_unfold, zero_w_halo)
+    rng = np.random.default_rng(12)
+    N, D, H, W, cin, cout = 2, 4, 6, 12, 5, 7
+    x = jnp.asarray(rng.standard_normal((N, D, H, W, cin)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)), jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, 3, cout, 3)), jnp.float32)
+    r1 = jax.nn.relu(conv3d_ndhwc(x, k1, 1, 1, jnp.float32))
+    ref = conv3d_ndhwc(r1, k2, 1, 1, jnp.float32)
+    p1 = zero_w_halo(jax.nn.relu(
+        conv3d_s1_w_packed(w_fold(x), k1, jnp.float32, True)))
+    got = w_unfold(conv3d_s1_w_packed(p1, k2, jnp.float32, False))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
