@@ -34,10 +34,18 @@ class MSGCNet(nn.Module):
     quarter_input: bool = False    # input volume at 1/4 res -> final x4 deconv
     dtype: Any = jnp.float32
     remat: bool = False
+    packed_train: bool = True      # run the packed layouts in train too
+                                   # (PackedPhaseBN halo-masked statistics)
 
     @nn.compact
-    def __call__(self, cv, train: bool = False):
-        """cv: [N, D_in, H_in, W_in, C] -> disparity [N, 2*H_in, 2*W_in]."""
+    def __call__(self, cv, train: bool = False, stop_at: str = ""):
+        """cv: [N, D_in, H_in, W_in, C] -> disparity [N, 2*H_in, 2*W_in].
+
+        stop_at: debug/profiling hook — return the named intermediate
+        instead of running the full network ("stem", "block1", "block2",
+        "block3", "block4", "deconv1", "deconv2", "deconv3"). Used by
+        scripts/perf_model_prefix.py to time true prefixes of the eval
+        graph; "" (default) runs everything."""
         F = self.num_filters
         dt = self.dtype
         x = cv.astype(dt)
@@ -56,10 +64,11 @@ class MSGCNet(nn.Module):
         # reach 25% MXU N-dim utilization unpacked (6.7 ms each at bench
         # shapes); packing 4 output phases into channels gives N=128 at 1.78x
         # padded FLOPs, and block_3d_1's stride-2 conv consumes the packed
-        # tensor directly. Train mode keeps the full-res path: packed-layout
-        # BN would fold the shifted halo's zeros into batch statistics.
+        # tensor directly. Train runs the same layouts with PackedPhaseBN:
+        # halo-masked statistics equal the full-layout BatchNorm's exactly.
         N_, D_, H_, W_, _ = x.shape
-        use_packed = (not train and H_ % 2 == 0 and W_ % 2 == 0
+        use_packed = ((not train or self.packed_train)
+                      and H_ % 2 == 0 and W_ % 2 == 0
                       and D_ % 2 == 0 and H_ >= 4 and W_ >= 4)
         res_l20p = None
         if use_packed:
@@ -73,6 +82,8 @@ class MSGCNet(nn.Module):
             res_l20, res_l20p = None, x2      # stays packed; see decoder tail
             if self.quarter_input:            # x4 tail can't consume packed
                 res_l20, res_l20p = hw_unpack(x2), None
+            if stop_at == "stem":
+                return x2
             x = block(2 * F, 2, dtype=dt, name="block_3d_1")(x2, train, "std")
         else:
             x = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(
@@ -80,20 +91,36 @@ class MSGCNet(nn.Module):
             x = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_2")(
                 x, train, "full", "full"))
             res_l20 = x
+            if stop_at == "stem":
+                return x
             x = block(2 * F, 2, dtype=dt, name="block_3d_1")(x, train, "full")
+        if stop_at == "block1":
+            return x
         res_l23 = x
         x = block(2 * F, 2, dtype=dt, name="block_3d_2")(x, train, "full")
+        if stop_at == "block2":
+            return x
         res_l26 = x
         x = block(2 * F, 2, dtype=dt, name="block_3d_3")(x, train, "full")
+        if stop_at == "block3":
+            return x
         res_l29 = x
         x = block(4 * F, 2, dtype=dt, name="block_3d_4")(x, train, "full")
+        if stop_at == "block4":
+            return x
 
         x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn1")(
             x, train, "full") + res_l29)
+        if stop_at == "deconv1":
+            return x
         x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn2")(
             x, train, "full") + res_l26)
+        if stop_at == "deconv2":
+            return x
         x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn3")(
             x, train, "full") + res_l23)
+        if stop_at == "deconv3":
+            return x
 
         # reference deconv5 is a bare nn.ConvTranspose3d (default bias=True)
         # + softmax + soft-argmin; fused into the subpixel head (layers.py)

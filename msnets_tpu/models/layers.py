@@ -420,6 +420,55 @@ def _bn_affine(bn: nn.Module, features: int):
     return a.reshape(-1), b.reshape(-1)
 
 
+class PackedPhaseBN(nn.Module):
+    """Train-mode BatchNorm on a phase-packed volume [N, D, Hb, Wb, P*C]
+    (channel order (phase, c)) with halo-masked statistics.
+
+    Each logical channel c appears as P packed channels; batch statistics
+    reduce over all P phase copies jointly so they equal the full-layout
+    BatchNorm's stats exactly (up to fp reassociation). Shifted layouts
+    carry an out-of-image halo whose entries are ZERO on input (callers run
+    `zero_shift_halo`/`zero_w_halo` on the raw conv output first): zeros
+    drop out of the sums, and the divisor is `valid_count` — the number of
+    LOGICAL elements N*D*H*W — not the padded packed count, so the halo
+    never pollutes mean/var. This is what makes the packed space-to-depth
+    layouts usable in training, not just eval (reference trains with
+    nn.BatchNorm3d over the full layout, gcnet_3dcnn.py:20-22).
+
+    Variable tree matches flax ``nn.BatchNorm`` (params scale/bias,
+    batch_stats mean/var, all f32), so checkpoints are interchangeable with
+    the eval path's BN and the torch converter.
+    """
+    features: int            # logical channel count C
+    phases: int              # packed copies per logical channel (2/4/8)
+    valid_count: int         # logical elements per channel (N*D*H*W)
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y):
+        C, P = self.features, self.phases
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        yf = y.astype(jnp.float32)
+        s = yf.reshape(-1, P, C)
+        n = float(self.valid_count)
+        mean = s.sum(axis=(0, 1)) / n
+        var = (s * s).sum(axis=(0, 1)) / n - mean * mean
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean
+            ra_var.value = m * ra_var.value + (1 - m) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        a = jnp.tile(inv, P)
+        b = jnp.tile(bias - mean * inv, P)
+        return (yf * a + b).astype(y.dtype)
+
+
 class ConvBN3D(nn.Module):
     """conv3d (no bias) + BatchNorm (reference convbn_3d, gcnet_3dcnn.py:20-22).
 
@@ -436,22 +485,32 @@ class ConvBN3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool, lin: str = "full", lout: str = "full"):
-        """lin/lout select the EVAL-mode tensor layout: "full" [N,D,H,W,C],
+        """lin/lout select the tensor layout: "full" [N,D,H,W,C],
         "std"/"shift" the packed H,W space-to-depth layouts of
-        `conv3d_s1_hw_packed`. Train mode ignores them (callers pass full-res
-        input when train=True; packed-layout BN would fold the shifted halo's
-        zero-padding into the batch statistics)."""
+        `conv3d_s1_hw_packed`, "wshift" the W-only fold of
+        `conv3d_s1_w_packed`. Both modes honor them: eval folds the BN
+        affine into the packed kernels; train runs the packed conv with the
+        raw kernel and `PackedPhaseBN` (halo-masked statistics), which is
+        numerically the full-layout BatchNorm up to fp reassociation."""
         k = self.kernel
-        packed_in = (not train) and lin in ("std", "shift")
+        packed_in = lin in ("std", "shift")
         cin = x.shape[-1] // (4 if packed_in else
-                              2 if (not train and lin == "wshift") else 1)
+                              2 if lin == "wshift" else 1)
         kernel = _KernelHolder((k, k, k, cin, self.features), k,
                                name="conv")()
+        if train and k == 3 and self.stride == 1 and \
+                (lin != "full" or lout != "full"):
+            return self._train_packed(x, kernel, lin, lout)
         bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=jnp.float32,
                           param_dtype=jnp.float32, name="bn")
         if train:
-            x = conv3d_ndhwc(x, kernel, self.stride, k // 2, self.dtype)
+            if self.stride == 2 and k == 3 and lin == "std":
+                # block entry conv consuming the packed stem (full output)
+                x = conv3d_s2_hw_s2d(x, kernel.astype(self.dtype),
+                                     self.dtype, packed_input=True)
+            else:
+                x = conv3d_ndhwc(x, kernel, self.stride, k // 2, self.dtype)
             x = pmesh.constrain_volume(x)
             return bn(x.astype(jnp.float32)).astype(self.dtype)
         a, b = _bn_affine(bn, self.features)
@@ -487,6 +546,47 @@ class ConvBN3D(nn.Module):
             y = conv3d_ndhwc(x, kf, self.stride, k // 2, self.dtype)
             y = y + b.astype(self.dtype)
         return pmesh.constrain_volume(y)
+
+    def _train_packed(self, x, kernel, lin: str, lout: str):
+        """Train-mode packed stride-1 conv + `PackedPhaseBN`.
+
+        Same packed lowerings as eval, but with the raw kernel (no BN fold)
+        and real batch statistics. Shifted-layout halo entries are zeroed
+        BEFORE the stats (the conv writes out-of-image garbage there) and
+        re-zeroed after the affine, so downstream packed taps keep reading
+        zero padding. Output stays in `lout`'s layout."""
+        kr = kernel.astype(self.dtype)
+        if lout == "wshift" or lin == "wshift":
+            if lout == "wshift":                      # full -> wshift
+                y = zero_w_halo(conv3d_s1_w_packed(w_fold(x), kr,
+                                                   self.dtype, True))
+                n = y.shape[0] * y.shape[1] * y.shape[2] * (2 * y.shape[3] - 2)
+            else:                                     # wshift -> full (fold)
+                y = conv3d_s1_w_packed(x, kr, self.dtype, False)
+                n = y.shape[0] * y.shape[1] * y.shape[2] * (2 * y.shape[3])
+            y = PackedPhaseBN(self.features, 2, n, name="bn")(y)
+            if lout == "wshift":
+                y = zero_w_halo(y)
+            else:
+                y = w_unfold(y)
+            return pmesh.constrain_volume(y.astype(self.dtype))
+        if lin == "full":                             # full -> std/shift
+            y = conv3d_s1_full_to_packed(x, kr, self.dtype,
+                                         to_shifted=(lout == "shift"))
+        else:                                         # std <-> shift
+            assert lin != lout, "packed s1 conv alternates std<->shift"
+            y = conv3d_s1_hw_packed(x, kr, self.dtype,
+                                    to_shifted=(lout == "shift"))
+        if lout == "shift":
+            y = zero_shift_halo(y)
+            n = (y.shape[0] * y.shape[1]
+                 * (2 * y.shape[2] - 2) * (2 * y.shape[3] - 2))
+        else:
+            n = y.shape[0] * y.shape[1] * (2 * y.shape[2]) * (2 * y.shape[3])
+        y = PackedPhaseBN(self.features, 4, n, name="bn")(y)
+        if lout == "shift":
+            y = zero_shift_halo(y)
+        return pmesh.constrain_volume(y.astype(self.dtype))
 
 
 def _deconv_phase_taps(stride: int):
@@ -699,11 +799,20 @@ class DeconvBN3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool, lout: str = "full"):
-        """lout="packed3d" (eval, stride 2 only) returns the deconv output in
-        `deconv3d_s2_packed_out`'s phase-packed layout [N, D, H, W, 8C]."""
+        """lout="packed3d" (stride 2 only) returns the deconv output in
+        `deconv3d_s2_packed_out`'s phase-packed layout [N, D, H, W, 8C];
+        supported in train too (every deconv output position is in-image,
+        so `PackedPhaseBN` needs no halo masking — the 8 phase copies just
+        reduce jointly)."""
         k = self.kernel
         kernel = _KernelHolder((k, k, k, x.shape[-1], self.features), k,
                                name="deconv")()
+        if train and lout == "packed3d" and self.stride == 2 and k == 3:
+            y = deconv3d_s2_packed_out(x, kernel.astype(self.dtype),
+                                       self.dtype)
+            n = y.shape[0] * y.shape[1] * y.shape[2] * y.shape[3] * 8
+            y = PackedPhaseBN(self.features, 8, n, name="bn")(y)
+            return pmesh.constrain_volume(y.astype(self.dtype))
         bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=jnp.float32,
                           param_dtype=jnp.float32, name="bn")
@@ -734,9 +843,10 @@ class Conv3DBlock(nn.Module):
         x = nn.relu(ConvBN3D(self.features, self.stride, self.kernel,
                              self.dtype, name="convbn_3d_1")(
                                  x, train, lin_first, "full"))
-        # eval: the two stride-1 convs run in W-only packed layout (free
-        # fold/unfold, 2x MXU N-util at cout 64); W must be even and >= 4
-        wpack = (not train and self.kernel == 3
+        # the two stride-1 convs run in W-only packed layout (free
+        # fold/unfold, 2x MXU N-util at cout 64); W must be even and >= 4.
+        # Train uses the same lowering with halo-masked PackedPhaseBN.
+        wpack = (self.kernel == 3
                  and x.shape[3] % 2 == 0 and x.shape[3] >= 4)
         l2out, l3in = ("wshift", "wshift") if wpack else ("full", "full")
         x = nn.relu(ConvBN3D(self.features, 1, self.kernel,
@@ -900,7 +1010,12 @@ class SubpixelSoftArgminHead(nn.Module):
         kbig = jnp.einsum("zhwqtp,tc->zhwqcp", jnp.asarray(S), kflat)
         kbig = kbig.reshape(2, 2, 2, 8 * cin, 64).astype(self.dtype)
 
-        # window-2 conv, decomposed into 2 depth-tap 2-D convs
+        # window-2 conv, decomposed into 2 depth-tap 2-D convs. The logit
+        # tensor L is 100M elements at bench shapes: keeping it in the model
+        # dtype (bf16) instead of f32 halves the HBM traffic of the conv
+        # write + the two softmax passes (3.0 -> 2.25 ms measured,
+        # scripts/perf_packed_head.py; max disparity diff 0.12 px on random
+        # logits — far below bad-3 relevance). Reductions stay f32.
         xq = x.astype(self.dtype)
         xpd = jnp.pad(xq, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
         L = None
@@ -911,19 +1026,20 @@ class SubpixelSoftArgminHead(nn.Module):
             y = jax.lax.conv_general_dilated(
                 sl, kbig[bz], (1, 1), [(0, 1), (0, 1)],
                 dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=self.dtype)
             L = y if L is None else L + y
         # [N, Db, Hb, Wb, (pz, ph, pw, qd, qh, qw)]
         L = L.reshape(N, Db, Hb, Wb, 2, 2, 2, 2, 2, 2)
         red = (1, 4, 7)                       # Db, pz, qd: disparity states
-        gmax = L.max(axis=red, keepdims=True)
-        e = jnp.exp(L - gmax)
-        den = e.sum(axis=red)                 # [N, Hb, Wb, ph, pw, qh, qw]
+        gmax = L.max(axis=red, keepdims=True).astype(jnp.float32)
+        e = jnp.exp(L.astype(jnp.float32) - gmax)
         ar2 = jnp.arange(2, dtype=jnp.float32)
         w = (4.0 * jnp.arange(Db, dtype=jnp.float32)[:, None, None]
              + ar2[None, :, None] + 2.0 * ar2[None, None, :])  # [Db, pz, qd]
-        num = jnp.einsum("nahwzyxdef,azd->nhwyxef", e, w)
-        disp = num / den                      # [N, Hb, Wb, ph, pw, qh, qw]
+        # numerator and denominator in ONE pass over e (stacked weight)
+        w2 = jnp.stack([w, jnp.ones_like(w)], axis=-1)
+        nd = jnp.einsum("nahwzyxdef,azdk->nhwyxefk", e, w2)
+        disp = nd[..., 0] / nd[..., 1]        # [N, Hb, Wb, ph, pw, qh, qw]
         # output row = 4*Bh + 2*qh + ph, col = 4*Bw + 2*qw + pw
         out = jnp.transpose(disp, (0, 1, 5, 3, 2, 6, 4))
         return out.reshape(N, 4 * Hb, 4 * Wb)

@@ -1,0 +1,66 @@
+"""True prefix timings of the real MSGCNet eval graph at bench shapes.
+
+Uses the model's stop_at debug hook so each prefix is exactly the graph the
+bench runs (same layouts/fusions), not a re-composition. Differences of
+consecutive rows give per-stage costs as XLA actually schedules them.
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import sys, time
+import numpy as np
+
+
+def timed_loop(make_fn, iters=20, warmup=2):
+    def run(n):
+        fn = make_fn(n)
+        int(fn())
+        best = float("inf")
+        for _ in range(warmup):
+            t0 = time.perf_counter(); int(fn()); best = min(best, time.perf_counter() - t0)
+        return best
+    t1 = run(1); tn = run(iters)
+    return (tn - t1) / (iters - 1)
+
+
+def main():
+    import jax, jax.numpy as jnp
+    from msnets_tpu.models.gcnet import MSGCNet
+
+    dt = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    cv = jnp.asarray(rng.standard_normal((1, 96, 128, 256, 8)), dt)
+    model = MSGCNet(max_disp=192, dtype=dt)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 8), dt),
+                   False)
+    # re-init at a tiny shape is fine: params are shape-independent of H,W,D
+    v = model.init(jax.random.PRNGKey(0), cv[:, :8, :8, :8], False)
+
+    prev = 0.0
+    for name in ("stem", "block1", "block2", "block3", "block4",
+                 "deconv1", "deconv2", "deconv3", ""):
+        def make(n, name=name):
+            @jax.jit
+            def loop(xx):
+                def body(c, _):
+                    out = model.apply(v, xx + c.astype(xx.dtype), False,
+                                      stop_at=name)
+                    o = out.ravel()
+                    return jax.lax.dynamic_index_in_dim(
+                        o, c % o.size, 0, False).astype(
+                            jnp.float32).astype(jnp.int32) % 2, None
+                c, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
+                                    length=n)
+                return c
+            return lambda: loop(cv)
+        try:
+            d = timed_loop(make) * 1e3
+            print(f"{name or 'FULL':10s} cum {d:7.2f} ms   stage {d-prev:+7.2f} ms")
+            prev = d
+        except Exception as e:
+            print(f"{name or 'FULL':10s} FAILED: {str(e)[:110]}")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -307,3 +307,147 @@ def test_conv3d_s1_w_packed_chain_matches_full():
     got = w_unfold(conv3d_s1_w_packed(p1, k2, jnp.float32, False))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_convbn3d_train_packed_matches_full():
+    """Train-mode packed ConvBN3D chain (full->shift->std, PackedPhaseBN
+    halo-masked stats) == the full-layout train chain: outputs, batch
+    stats, and updated running stats (layers.py:ConvBN3D._train_packed)."""
+    from msnets_tpu.models.layers import ConvBN3D, hw_unpack
+    rng = np.random.default_rng(3)
+    N, D, H, W, cin, F = 2, 4, 8, 12, 3, 5
+    x = jnp.asarray(rng.standard_normal((N, D, H, W, cin)), jnp.float32)
+    m1 = ConvBN3D(F, 1, 3, jnp.float32)
+    m2 = ConvBN3D(F, 1, 3, jnp.float32)
+    v1 = m1.init(jax.random.PRNGKey(1), x, True)
+    y1f, s1 = m1.apply(v1, x, True, "full", "full",
+                       mutable=["batch_stats"])
+    y1f = jax.nn.relu(y1f)
+    v2 = m2.init(jax.random.PRNGKey(2), y1f, True)
+    y2f, s2 = m2.apply(v2, y1f, True, "full", "full",
+                       mutable=["batch_stats"])
+
+    y1p, s1p = m1.apply(v1, x, True, "full", "shift",
+                        mutable=["batch_stats"])
+    y1p = jax.nn.relu(y1p)
+    y2p, s2p = m2.apply(v2, y1p, True, "shift", "std",
+                        mutable=["batch_stats"])
+    got = hw_unpack(y2p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(y2f),
+                               rtol=2e-4, atol=2e-4)
+    for sf, sp in ((s1, s1p), (s2, s2p)):
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(sp["batch_stats"]["bn"][k]),
+                np.asarray(sf["batch_stats"]["bn"][k]), rtol=1e-4, atol=1e-5)
+
+
+def test_convbn3d_train_wshift_matches_full():
+    """Train-mode W-fold packed convs (full->wshift->full) == full chain."""
+    from msnets_tpu.models.layers import ConvBN3D
+    rng = np.random.default_rng(4)
+    N, D, H, W, cin, F = 1, 4, 6, 12, 3, 4
+    x = jnp.asarray(rng.standard_normal((N, D, H, W, cin)), jnp.float32)
+    m1 = ConvBN3D(F, 1, 3, jnp.float32)
+    m2 = ConvBN3D(F, 1, 3, jnp.float32)
+    v1 = m1.init(jax.random.PRNGKey(5), x, True)
+    y1f, s1 = m1.apply(v1, x, True, mutable=["batch_stats"])
+    y1f = jax.nn.relu(y1f)
+    v2 = m2.init(jax.random.PRNGKey(6), y1f, True)
+    y2f, _ = m2.apply(v2, y1f, True, mutable=["batch_stats"])
+
+    y1p, s1p = m1.apply(v1, x, True, "full", "wshift",
+                        mutable=["batch_stats"])
+    y1p = jax.nn.relu(y1p)
+    y2p, _ = m2.apply(v2, y1p, True, "wshift", "full",
+                      mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y2p), np.asarray(y2f),
+                               rtol=2e-4, atol=2e-4)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(s1p["batch_stats"]["bn"][k]),
+            np.asarray(s1["batch_stats"]["bn"][k]), rtol=1e-4, atol=1e-5)
+
+
+def test_gcnet_train_packed_matches_unpacked():
+    """Full MSGCNet train step, packed_train=True vs False: same params ->
+    same disparity, same updated batch stats, same gradients."""
+    rng = np.random.default_rng(7)
+    cv = jnp.asarray(rng.standard_normal((1, 16, 16, 32, 8)), jnp.float32)
+    mp = MSGCNet(max_disp=32, dtype=jnp.float32, packed_train=True)
+    mu = MSGCNet(max_disp=32, dtype=jnp.float32, packed_train=False)
+    v = mp.init(jax.random.PRNGKey(0), cv, True)
+
+    def run(m):
+        out, st = m.apply(v, cv, True, mutable=["batch_stats"])
+        return out, st
+
+    op, sp = run(mp)
+    ou, su = run(mu)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ou),
+                               rtol=5e-3, atol=5e-3)
+    fp = jax.tree_util.tree_leaves_with_path(sp["batch_stats"])
+    fu = dict(jax.tree_util.tree_leaves_with_path(su["batch_stats"]))
+    assert len(fp) == len(fu)
+    for path, leaf in fp:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(fu[path]),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=str(path))
+
+    # Gradient equivalence is checked on the stem+block1 prefix only: the
+    # deeper blocks' BN at these toy shapes runs on 2-16 element samples,
+    # which amplifies fp-reassociation noise into O(1e-2) output diffs
+    # (at real shapes the stats average millions of elements). The prefix
+    # covers every new packed-train lowering: full->shift, shift->std,
+    # the s2 packed entry conv, wshift inner convs, and PackedPhaseBN.
+    def loss(params, m):
+        out, _ = m.apply({"params": params,
+                          "batch_stats": v["batch_stats"]}, cv, True,
+                         stop_at="block1", mutable=["batch_stats"])
+        return jnp.mean(out * out)
+
+    gp = jax.grad(loss)(v["params"], mp)
+    gu = jax.grad(loss)(v["params"], mu)
+    ref = dict(jax.tree_util.tree_leaves_with_path(gu))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(gp):
+        if not np.any(np.asarray(ref[path])) and not np.any(np.asarray(leaf)):
+            continue  # params of stages after block1: zero grads both ways
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref[path]),
+                                   rtol=2e-3, atol=2e-3, err_msg=str(path))
+
+
+def test_deconvbn3d_train_packed3d_matches_full():
+    """Train-mode DeconvBN3D with lout=packed3d (PackedPhaseBN over the 8
+    deconv phases) == full-layout train deconv+BN: output, stats, grads."""
+    from msnets_tpu.models.layers import DeconvBN3D
+    rng = np.random.default_rng(9)
+    N, D, H, W, cin, F = 2, 3, 4, 5, 6, 4
+    x = jnp.asarray(rng.standard_normal((N, D, H, W, cin)), jnp.float32)
+    m = DeconvBN3D(F, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, True)
+
+    yf, sf = m.apply(v, x, True, "full", mutable=["batch_stats"])
+    yp, sp = m.apply(v, x, True, "packed3d", mutable=["batch_stats"])
+    # packed3d [N, D, H, W, 8F] (pz,ph,pw,c) -> full [N, 2D, 2H, 2W, F]
+    got = yp.reshape(N, D, H, W, 2, 2, 2, F)
+    got = jnp.transpose(got, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
+        N, 2 * D, 2 * H, 2 * W, F)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(yf),
+                               rtol=2e-4, atol=2e-4)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(sp["batch_stats"]["bn"][k]),
+            np.asarray(sf["batch_stats"]["bn"][k]), rtol=1e-4, atol=1e-5)
+
+    def loss(params, lout):
+        out, _ = m.apply({"params": params,
+                          "batch_stats": v["batch_stats"]}, x, True, lout,
+                         mutable=["batch_stats"])
+        return jnp.mean(out * out)
+
+    gp = jax.grad(loss)(v["params"], "packed3d")
+    gf = jax.grad(loss)(v["params"], "full")
+    ref = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(gp):
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref[path]),
+                                   rtol=2e-3, atol=2e-3, err_msg=str(path))
