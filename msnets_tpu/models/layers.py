@@ -373,6 +373,32 @@ def zero_shift_halo(y: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def conv3d_k3_cout1_tapgemm(x: jnp.ndarray, kernel: jnp.ndarray,
+                            dtype) -> jnp.ndarray:
+    """k=3, stride-1, pad-1 conv3d with cout=1 as a 27-column tap GEMM.
+
+    A single-output-channel conv leaves 127 of the MXU's 128 N-lanes idle;
+    instead, one GEMM projects all 27 kernel taps at once (N=27) and the
+    output combines shifted slices of the tap tensor — the same trick as
+    `SubpixelSoftArgminHead`'s unpacked path. Used by the MS-PSMNet
+    classifier heads (reference psmnet_3dcnn.py:166-172, nn.Conv3d(32,1))."""
+    N, D, H, W, cin = x.shape
+    k_all = kernel.reshape(27, cin).T.astype(dtype)          # [cin, 27]
+    T = jax.lax.dot_general(x.astype(dtype), k_all,
+                            (((4,), (0,)), ((), ())))
+    Tp = jnp.pad(T, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for kd in range(3):
+        for kh in range(3):
+            for kw in range(3):
+                t = (kd * 3 + kh) * 3 + kw
+                # out[p] += T[p + k - 1, tap]; +1 from the pad
+                sl = jax.lax.dynamic_slice(Tp, (0, kd, kh, kw, t),
+                                           (N, D, H, W, 1))
+                acc = sl if acc is None else acc + sl
+    return acc
+
+
 class Conv3D(nn.Module):
     """Bare 3-D conv (no bias), param path ``<name>/kernel``."""
     features: int
@@ -387,7 +413,10 @@ class Conv3D(nn.Module):
         kernel = self.param("kernel", he_normal_msnets(self.kernel),
                             (self.kernel, self.kernel, self.kernel,
                              x.shape[-1], self.features))
-        y = conv3d_ndhwc(x, kernel, self.stride, p, self.dtype)
+        if self.features == 1 and self.kernel == 3 and self.stride == 1:
+            y = conv3d_k3_cout1_tapgemm(x, kernel, self.dtype)
+        else:
+            y = conv3d_ndhwc(x, kernel, self.stride, p, self.dtype)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y

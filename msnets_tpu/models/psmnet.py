@@ -23,8 +23,8 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import (ConvBN3D, Deconv3D, resize_trilinear_align_corners,
-                     soft_argmin)
+from .layers import (ConvBN3D, Deconv3D, hw_unpack,
+                     resize_trilinear_align_corners, soft_argmin)
 
 
 class Hourglass(nn.Module):
@@ -33,10 +33,12 @@ class Hourglass(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, presqu, postsqu, train: bool):
+    def __call__(self, x, presqu, postsqu, train: bool,
+                 lin_first: str = "full"):
         c = self.inplanes
         dt = self.dtype
-        out = nn.relu(ConvBN3D(2 * c, 2, dtype=dt, name="conv1")(x, train))
+        out = nn.relu(ConvBN3D(2 * c, 2, dtype=dt, name="conv1")(
+            x, train, lin_first, "full"))
         pre = ConvBN3D(2 * c, 1, dtype=dt, name="conv2")(out, train)
         if postsqu is not None:
             pre = nn.relu(pre + postsqu)
@@ -80,6 +82,8 @@ class MSPSMNet(nn.Module):
     upscale: int = 2
     dtype: Any = jnp.float32
     remat: bool = False
+    packed_train: bool = True      # packed dres layouts in train too
+                                   # (PackedPhaseBN halo-masked statistics)
 
     @nn.compact
     def __call__(self, cv, train: bool = False):
@@ -90,20 +94,48 @@ class MSPSMNet(nn.Module):
         N, D_in, H_in, W_in, _ = x.shape
         full = (self.max_disp, H_in * self.upscale, W_in * self.upscale)
 
-        h = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres0_1")(x, train))
-        cost0 = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres0_2")(h, train))
-        h = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres1_1")(cost0, train))
-        h = ConvBN3D(32, 1, dtype=dt, name="dres1_2")(h, train)
-        cost0 = h + cost0
+        # The dres chain is 4 stride-1 cout=32 convs over the FULL-res
+        # volume — the same 25%-MXU-utilization shape as the MS-GCNet stem —
+        # so it runs in the packed 2x2 H,W space-to-depth layout (1.78x
+        # padded FLOPs for 4x N-lane utilization; layers.py). The first
+        # hourglass consumes the packed tensor directly via its stride-2
+        # entry conv; the hourglass skip-adds need the full layout, so the
+        # packed cost0 is unpacked ONCE (a 50 MB depth-to-space at bench
+        # shapes, vs ~4 full-volume convs saved).
+        use_packed = ((not train or self.packed_train)
+                      and H_in % 2 == 0 and W_in % 2 == 0
+                      and H_in >= 4 and W_in >= 4)
+        if use_packed:
+            h = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres0_1")(
+                x, train, "full", "shift"))
+            cost0p = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres0_2")(
+                h, train, "shift", "std"))
+            h = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres1_1")(
+                cost0p, train, "std", "shift"))
+            h = ConvBN3D(32, 1, dtype=dt, name="dres1_2")(
+                h, train, "shift", "std")
+            cost0p = h + cost0p
+            cost0 = hw_unpack(cost0p)
+            hg1_in, hg1_lin = cost0p, "std"
+        else:
+            h = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres0_1")(x, train))
+            cost0 = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres0_2")(h, train))
+            h = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres1_1")(cost0, train))
+            h = ConvBN3D(32, 1, dtype=dt, name="dres1_2")(h, train)
+            cost0 = h + cost0
+            hg1_in, hg1_lin = cost0, "full"
 
         hg = Hourglass
         if self.remat:
-            hg = nn.remat(Hourglass, static_argnums=(4,))
-        out1, pre1, post1 = hg(32, dtype=dt, name="dres2")(cost0, None, None, train)
+            hg = nn.remat(Hourglass, static_argnums=(4, 5))
+        out1, pre1, post1 = hg(32, dtype=dt, name="dres2")(
+            hg1_in, None, None, train, hg1_lin)
         out1 = out1 + cost0
-        out2, _, post2 = hg(32, dtype=dt, name="dres3")(out1, pre1, post1, train)
+        out2, _, post2 = hg(32, dtype=dt, name="dres3")(
+            out1, pre1, post1, train, "full")
         out2 = out2 + cost0
-        out3, _, _ = hg(32, dtype=dt, name="dres4")(out2, pre1, post2, train)
+        out3, _, _ = hg(32, dtype=dt, name="dres4")(
+            out2, pre1, post2, train, "full")
         out3 = out3 + cost0
 
         cost1 = _Classifier(dtype=dt, name="classif1")(out1, train)

@@ -451,3 +451,22 @@ def test_deconvbn3d_train_packed3d_matches_full():
     for path, leaf in jax.tree_util.tree_leaves_with_path(gp):
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref[path]),
                                    rtol=2e-3, atol=2e-3, err_msg=str(path))
+
+
+def test_psmnet_train_packed_matches_unpacked():
+    """MS-PSMNet packed dres chain + packed hourglass entry in train ==
+    the full-layout path (same params): predictions and batch stats."""
+    rng = np.random.default_rng(11)
+    cv = jnp.asarray(rng.standard_normal((1, 8, 8, 16, 8)), jnp.float32)
+    mp = MSPSMNet(max_disp=16, dtype=jnp.float32, packed_train=True)
+    mu = MSPSMNet(max_disp=16, dtype=jnp.float32, packed_train=False)
+    v = mp.init(jax.random.PRNGKey(0), cv, True)
+    op, sp = mp.apply(v, cv, True, mutable=["batch_stats"])
+    ou, su = mu.apply(v, cv, True, mutable=["batch_stats"])
+    for a, b in zip(op, ou):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+    ref = dict(jax.tree_util.tree_leaves_with_path(su["batch_stats"]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(sp["batch_stats"]):
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref[path]),
+                                   rtol=2e-3, atol=2e-3, err_msg=str(path))
