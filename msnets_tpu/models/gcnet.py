@@ -126,10 +126,24 @@ class MSGCNet(nn.Module):
         # + softmax + soft-argmin; fused into the subpixel head (layers.py)
         stride = 4 if self.quarter_input else 2
         if res_l20p is not None and stride == 2:
-            # deconvbn4's output never leaves the phase-packed layout (the
+            # deconvbn4's output never leaves a phase-packed layout (the
             # depth-to-space interleave alone measured 6.5 ms at bench
-            # shapes); the skip joins via a cheap depth-parity re-pack and
-            # the head consumes the packed volume directly.
+            # shapes). Eval goes further: the deconv emits two depth-parity
+            # SLABS so the conv2-layout skip aligns via a free reshape view
+            # (no d_split_pack transpose, 1.53 ms) with the adds fused into
+            # the deconv's conv epilogues, and the head reads the slab pair
+            # directly. Train keeps the packed-3d path: PackedPhaseBN needs
+            # one tensor for its phase-folded statistics.
+            N2, D2 = res_l20p.shape[0], res_l20p.shape[1] // 2
+            wb_even = res_l20p.shape[3] % 2 == 0
+            if not train and wb_even:
+                skv = res_l20p.reshape(N2, D2, 2, *res_l20p.shape[2:])
+                s0, s1 = deconvbn(F, dtype=dt, name="deconvbn4")(
+                    x, train, "pzslab", (skv[:, :, 0], skv[:, :, 1]))
+                assert D2 * 4 == self.max_disp
+                return SubpixelSoftArgminHead(stride=2, dtype=dt,
+                                              name="deconv5")(
+                    (nn.relu(s0), nn.relu(s1)), "pzslab")
             y4 = deconvbn(F, dtype=dt, name="deconvbn4")(x, train, "packed3d")
             x = nn.relu(y4 + d_split_pack(res_l20p))
             assert x.shape[1] * 4 == self.max_disp, \

@@ -732,6 +732,43 @@ def deconv3d_s2_packed_out(x: jnp.ndarray, kernel: jnp.ndarray,
     return out.reshape(N, D, H, W, 8 * cout)
 
 
+def deconv3d_s2_pz_slabs(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
+                         adds=None) -> tuple:
+    """ConvTranspose3d(k=3, s=2, p=1, op=1) emitting TWO depth-parity
+    slabs S[t] = [N, D, H, W, 4*cout] (channels (ph, pw, c)): entry
+    (B, ph, pw) of S[t] is the deconv output at full-res coordinate
+    (2B + t, 2Bh + ph, 2Bw + pw).
+
+    Versus `deconv3d_s2_packed_out`, the pz phase stays a separate D-major
+    structure instead of a channel group, so a skip in conv2's packed-std
+    layout [N, 2D, H, W, 4C] aligns via a FREE reshape view
+    ([N, D, 2, H, W, 4C]) — no d_split_pack transpose (1.53 ms at bench
+    shapes). `adds[t]` (optional, [N, D, H, W, 4*cout]) is summed
+    into slab t's conv accumulator so the skip-add can fuse into the conv
+    epilogue."""
+    N, D, H, W, cin = x.shape
+    cout = kernel.shape[-1]
+    # out channels of _conv_shuffle_kernel are (pz, ph, pw, co)
+    kpz = _conv_shuffle_kernel(kernel).astype(dtype).reshape(
+        2, 2, 2, cin, 2, 4 * cout)
+    x = x.astype(dtype)
+    xpd = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    slabs = []
+    for t in range(2):
+        acc = (None if adds is None else
+               adds[t].astype(dtype).reshape(N * D, H, W, 4 * cout))
+        for bz in range(2):
+            sl = xpd[:, bz:bz + D].reshape(N * D, H, W, cin)
+            dn = jax.lax.conv_dimension_numbers(
+                sl.shape, kpz[bz, ..., t, :].shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                sl, kpz[bz, ..., t, :], (1, 1), [(0, 1), (0, 1)],
+                dimension_numbers=dn)
+            acc = y if acc is None else acc + y
+        slabs.append(acc.reshape(N, D, H, W, 4 * cout))
+    return tuple(slabs)
+
+
 def d_split_pack(x: jnp.ndarray) -> jnp.ndarray:
     """[N, D, Hb, Wb, 4C] packed-std (qh, qw, c) -> [N, D/2, Hb, Wb, 8C]
     packed-3d (qd, qh, qw, c): folds the depth parity into channels so a
@@ -827,15 +864,32 @@ class DeconvBN3D(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool, lout: str = "full"):
+    def __call__(self, x, train: bool, lout: str = "full", skips=None):
         """lout="packed3d" (stride 2 only) returns the deconv output in
         `deconv3d_s2_packed_out`'s phase-packed layout [N, D, H, W, 8C];
         supported in train too (every deconv output position is in-image,
         so `PackedPhaseBN` needs no halo masking — the 8 phase copies just
-        reduce jointly)."""
+        reduce jointly). lout="pzslab" (eval, stride 2) returns the PAIR of
+        depth-parity slabs of `deconv3d_s2_pz_slabs`, with BN folded and
+        the optional `skips` pair summed inside the conv epilogues (callers
+        relu)."""
         k = self.kernel
         kernel = _KernelHolder((k, k, k, x.shape[-1], self.features), k,
                                name="deconv")()
+        if lout == "pzslab":
+            assert not train and self.stride == 2 and k == 3
+            bn = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                              epsilon=1e-5, dtype=jnp.float32,
+                              param_dtype=jnp.float32, name="bn")
+            a, b = _bn_affine(bn, self.features)
+            kf = (kernel.astype(jnp.float32) * a).astype(self.dtype)
+            b4 = jnp.tile(b, 4).astype(self.dtype)
+            adds = (None if skips is None else
+                    tuple(s.astype(self.dtype) + b4 for s in skips))
+            slabs = deconv3d_s2_pz_slabs(x, kf, self.dtype, adds)
+            if skips is None:
+                slabs = tuple(s + b4 for s in slabs)
+            return tuple(pmesh.constrain_volume(s) for s in slabs)
         if train and lout == "packed3d" and self.stride == 2 and k == 3:
             y = deconv3d_s2_packed_out(x, kernel.astype(self.dtype),
                                        self.dtype)
@@ -941,14 +995,22 @@ class SubpixelSoftArgminHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, packed: bool = False):
-        if packed:
+    def __call__(self, x, packed=False):
+        """packed=False: full layout [N,D,H,W,C]. packed=True: packed-3d
+        [N,Db,Hb,Wb,8C]. packed="pzslab": x is a PAIR of depth-parity slabs
+        [N,Db,Hb,Wb,4C] (see `deconv3d_s2_pz_slabs`)."""
+        if packed == "pzslab":
+            assert self.stride == 2, "packed head supports stride 2"
+            cin = x[0].shape[-1] // 4
+        elif packed:
             assert self.stride == 2, "packed head supports stride 2"
             cin = x.shape[-1] // 8
         else:
             cin = x.shape[-1]
         kernel = self.param("kernel", he_normal_msnets(3), (3, 3, 3, cin, 1))
         self.param("bias", nn.initializers.zeros, (1,))  # parity; cancels
+        if packed == "pzslab":
+            return self._pzslab(x, kernel)
         if packed:
             return self._packed(x, kernel)
         N, D, H, W, _ = x.shape
@@ -1071,6 +1133,87 @@ class SubpixelSoftArgminHead(nn.Module):
         disp = nd[..., 0] / nd[..., 1]        # [N, Hb, Wb, ph, pw, qh, qw]
         # output row = 4*Bh + 2*qh + ph, col = 4*Bw + 2*qw + pw
         out = jnp.transpose(disp, (0, 1, 5, 3, 2, 6, 4))
+        return out.reshape(N, 4 * Hb, 4 * Wb)
+
+    def _pzslab(self, slabs, kernel):
+        """Head on a pair of depth-parity slabs S[t] = [N, Db, Hb, Wb, 4cin]
+        (channels (qh, qw, c); entry (B, t) = volume depth 2B + t — the
+        layout `deconv3d_s2_pz_slabs` + free-reshape skip-add leave the
+        decoder output in, with no d_split_pack repack).
+
+        Logits for output phase p = (pz, ph, pw) at volume depth m = 2B + qd
+        read depth m + oz, i.e. slab (qd+oz)&1 at block B + ((qd+oz)>>1), so
+        the window-2 block conv of `_packed` becomes FOUR 2-D convs grouped
+        by (source slab s, depth block offset bd) — same total contraction.
+        Each slab is W-FOLDED (free reshape) so the conv's N dim stays 128
+        (out channels (u_out, p, q) = 2*8*8). Softmax statistics then reduce
+        over (Db, pz, qd) per spatial phase exactly as in `_packed`."""
+        import numpy as _np
+        S0, S1 = slabs
+        N, Db, Hb, Wb, c4 = S0.shape
+        assert Wb % 2 == 0, "pzslab head needs even Wb for the W-fold"
+        cin = c4 // 4
+        taps = _deconv_phase_taps(2)
+        # selector [s, bd, bh(2), dx'(2), u_in, hph, wph, tap, u_out, p, q]
+        sel = _np.zeros((2, 2, 2, 2, 2, 2, 2, 27, 2, 8, 8), _np.float32)
+        for pz in range(2):
+            for ph in range(2):
+                for pw in range(2):
+                    p = (pz * 2 + ph) * 2 + pw
+                    for qd in range(2):
+                        for qh in range(2):
+                            for qw in range(2):
+                                q = (qd * 2 + qh) * 2 + qw
+                                for kz, oz in taps[pz]:
+                                    for ky, oy in taps[ph]:
+                                        for kx, ox in taps[pw]:
+                                            t = (kz * 3 + ky) * 3 + kx
+                                            s = (qd + oz) & 1
+                                            bd = (qd + oz) >> 1
+                                            bh = (qh + oy) >> 1
+                                            hph = (qh + oy) & 1
+                                            for uo in range(2):
+                                                wb = uo + ((qw + ox) >> 1)
+                                                sel[s, bd, bh, wb >> 1,
+                                                    wb & 1, hph,
+                                                    (qw + ox) & 1, t,
+                                                    uo, p, q] = 1.0
+        kflat = kernel.reshape(27, cin).astype(jnp.float32)
+        kg = jnp.einsum("sbhxuvwtopq,tc->sbhxuvwcopq",
+                        jnp.asarray(sel), kflat)
+        # -> spatial window (bh, dx'); in channels (u_in, qh, qw, c)
+        kg = kg.reshape(2, 2, 2, 2, 8 * cin, 128).astype(self.dtype)
+
+        Sf = [s.astype(self.dtype).reshape(N * Db, Hb, Wb // 2, 2 * c4)
+              for s in (S0, S1)]
+        L = None
+        for s in range(2):
+            for bd in range(2):
+                src = Sf[s]
+                if bd:                      # depth block B+1: shift slab up
+                    src = jnp.pad(
+                        src.reshape(N, Db, Hb, Wb // 2, -1)[:, 1:],
+                        ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+                    src = src.reshape(N * Db, Hb, Wb // 2, -1)
+                dn = jax.lax.conv_dimension_numbers(
+                    src.shape, kg[s, bd].shape, ("NHWC", "HWIO", "NHWC"))
+                y = jax.lax.conv_general_dilated(
+                    src, kg[s, bd], (1, 1), [(0, 1), (0, 1)],
+                    dimension_numbers=dn, preferred_element_type=self.dtype)
+                L = y if L is None else L + y
+        # [N, Db, Hb, W'b, (u, pz, ph, pw, qd, qh, qw)]
+        L = L.reshape(N, Db, Hb, Wb // 2, 2, 2, 2, 2, 2, 2, 2)
+        red = (1, 5, 8)                       # Db, pz, qd
+        gmax = L.max(axis=red, keepdims=True).astype(jnp.float32)
+        e = jnp.exp(L.astype(jnp.float32) - gmax)
+        ar2 = jnp.arange(2, dtype=jnp.float32)
+        w = (4.0 * jnp.arange(Db, dtype=jnp.float32)[:, None, None]
+             + ar2[None, :, None] + 2.0 * ar2[None, None, :])
+        w2 = jnp.stack([w, jnp.ones_like(w)], axis=-1)
+        nd = jnp.einsum("nahwuzyxdef,azdk->nhwuyxefk", e, w2)
+        disp = nd[..., 0] / nd[..., 1]  # [N, Hb, W'b, u, ph, pw, qh, qw]
+        # row = 4Bh + 2qh + ph; col = 4(2B'w + u) + 2qw + pw
+        out = jnp.transpose(disp, (0, 1, 6, 4, 2, 3, 7, 5))
         return out.reshape(N, 4 * Hb, 4 * Wb)
 
 

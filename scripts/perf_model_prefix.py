@@ -31,10 +31,10 @@ def main():
     rng = np.random.default_rng(0)
     cv = jnp.asarray(rng.standard_normal((1, 96, 128, 256, 8)), dt)
     model = MSGCNet(max_disp=192, dtype=dt)
-    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 8), dt),
-                   False)
-    # re-init at a tiny shape is fine: params are shape-independent of H,W,D
-    v = model.init(jax.random.PRNGKey(0), cv[:, :8, :8, :8], False)
+    # one init at a tiny shape (params are shape-independent of D,H,W);
+    # jitted so the remote backend compiles exactly one small graph
+    v = jax.jit(lambda k: model.init(k, jnp.zeros((1, 8, 8, 8, 8), dt),
+                                     False))(jax.random.PRNGKey(0))
 
     prev = 0.0
     for name in ("stem", "block1", "block2", "block3", "block4",

@@ -470,3 +470,20 @@ def test_psmnet_train_packed_matches_unpacked():
     for path, leaf in jax.tree_util.tree_leaves_with_path(sp["batch_stats"]):
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref[path]),
                                    rtol=2e-3, atol=2e-3, err_msg=str(path))
+
+
+def test_head_pzslab_matches_packed3d():
+    """The slab-pair head (layers.SubpixelSoftArgminHead._pzslab) must equal
+    the packed-3d head on the same volume: slab t of a packed-3d tensor is
+    its qd=t channel group."""
+    from msnets_tpu.models.layers import SubpixelSoftArgminHead
+    rng = np.random.default_rng(13)
+    N, Db, Hb, Wb, cin = 2, 3, 4, 6, 5
+    x = jnp.asarray(rng.standard_normal((N, Db, Hb, Wb, 8 * cin)),
+                    jnp.float32)
+    head = SubpixelSoftArgminHead(stride=2, dtype=jnp.float32)
+    v = head.init(jax.random.PRNGKey(0), x, True)
+    ref = head.apply(v, x, True)
+    got = head.apply(v, (x[..., :4 * cin], x[..., 4 * cin:]), "pzslab")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
