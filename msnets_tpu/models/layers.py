@@ -1148,14 +1148,13 @@ class SubpixelSoftArgminHead(nn.Module):
         Each slab is W-FOLDED (free reshape) so the conv's N dim stays 128
         (out channels (u_out, p, q) = 2*8*8). Softmax statistics then reduce
         over (Db, pz, qd) per spatial phase exactly as in `_packed`."""
-        import numpy as _np
         S0, S1 = slabs
         N, Db, Hb, Wb, c4 = S0.shape
         assert Wb % 2 == 0, "pzslab head needs even Wb for the W-fold"
         cin = c4 // 4
         taps = _deconv_phase_taps(2)
         # selector [s, bd, bh(2), dx'(2), u_in, hph, wph, tap, u_out, p, q]
-        sel = _np.zeros((2, 2, 2, 2, 2, 2, 2, 27, 2, 8, 8), _np.float32)
+        sel = np.zeros((2, 2, 2, 2, 2, 2, 2, 27, 2, 8, 8), np.float32)
         for pz in range(2):
             for ph in range(2):
                 for pw in range(2):
