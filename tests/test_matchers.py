@@ -148,3 +148,40 @@ def test_batched_vmap(pair):
     single = M.census(jnp.asarray(iml), jnp.asarray(imr), 6, 5)
     np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(single))
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(single))
+
+
+def test_image_smaller_than_census_window_all_sentinel():
+    """8x8 images vs censw=11: every entry must be the INVALID sentinel
+    (no crash, no NaN) — matches the reference's border semantics."""
+    rng = np.random.default_rng(1)
+    iml = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    imr = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    c = np.asarray(M.census(jnp.asarray(iml), jnp.asarray(imr), 4, 11))
+    assert np.all(c == INVALID)
+    assert np.all(np.isfinite(c))
+
+
+def test_ndisp_wider_than_image():
+    """ndisp > image width: the validity band d <= col - wc leaves the
+    out-of-range disparities at the sentinel; finite everywhere."""
+    rng = np.random.default_rng(2)
+    iml = rng.integers(0, 256, (24, 20), dtype=np.uint8)
+    imr = rng.integers(0, 256, (24, 20), dtype=np.uint8)
+    for fn, args in ((M.census, (32, 5)), (M.ncc_nister, (32, 3)),
+                     (M.zsad, (32, 5)), (M.sadsob, (32, 5))):
+        c = np.asarray(fn(jnp.asarray(iml), jnp.asarray(imr), *args))
+        assert np.all(np.isfinite(c)), fn
+        wc = args[1] // 2
+        # disparities that no column can reach stay fully invalid
+        assert np.all(c[..., 19 - wc + 1:] == INVALID), fn
+
+
+def test_flat_images_all_matchers_finite():
+    """Zero-texture images: NCC's degenerate variance path and every other
+    matcher must stay finite (verify-skill probe)."""
+    iml = np.full((20, 30), 128, np.uint8)
+    imr = np.full((20, 30), 128, np.uint8)
+    for fn, args in ((M.census, (8, 5)), (M.ncc_nister, (8, 3)),
+                     (M.zsad, (8, 5)), (M.sadsob, (8, 5))):
+        c = np.asarray(fn(jnp.asarray(iml), jnp.asarray(imr), *args))
+        assert np.all(np.isfinite(c)), fn
