@@ -33,7 +33,7 @@ def main():
     model = MSGCNet(max_disp=192, dtype=dt)
     # one init at a tiny shape (params are shape-independent of D,H,W);
     # jitted so the remote backend compiles exactly one small graph
-    v = jax.jit(lambda k: model.init(k, jnp.zeros((1, 8, 8, 8, 8), dt),
+    v = jax.jit(lambda k: model.init(k, jnp.zeros((1, 96, 16, 16, 8), dt),
                                      False))(jax.random.PRNGKey(0))
 
     prev = 0.0
