@@ -67,7 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--num_hosts", type=int, default=1)
     p.add_argument("--host_id", type=int, default=0)
-    p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--remat", dest="remat", action="store_true",
+                   help="rematerialize BN'd stages (needed above the "
+                        "reference crop/batch; see TrainConfig.remat)")
+    p.add_argument("--no_remat", dest="remat", action="store_false")
+    p.set_defaults(remat=TrainConfig.remat)
     return p
 
 
@@ -86,7 +90,7 @@ def args_to_config(a) -> Config:
                           log_summary_step=a.log_summary_step,
                           checkpoint_dir=a.checkpoint_dir,
                           train_logdir=a.train_logdir, resume=a.resume,
-                          remat=not a.no_remat, grad_accum=a.grad_accum),
+                          remat=a.remat, grad_accum=a.grad_accum),
         data=DataConfig(data_path=a.data_path, training_list=a.training_list,
                         test_list=a.test_list,
                         kitti2012=bool(a.kitti2012),

@@ -92,8 +92,13 @@ class TrainConfig:
     checkpoint_dir: str = "./checkpoints"
     train_logdir: str = "./logs"
     resume: str = ""
-    # gradient rematerialization of encoder stages to trade FLOPs for HBM
-    remat: bool = True
+    # gradient rematerialization of BN'd stages to trade FLOPs for HBM.
+    # With the packed train layouts the reference config (crop 256x512,
+    # D=192, batch 2) peaks at 10.9 GiB without remat on a 16 GiB v5e and
+    # steps 16% faster (199 vs 236 ms); turn remat on for larger crops /
+    # batches (scripts/train_step_memstats.py prints XLA's HBM analysis
+    # without executing)
+    remat: bool = False
     # micro-batching: split each batch into N sequential micro-steps,
     # accumulating gradients (BatchNorm stats thread through sequentially).
     # Lets train-crop batch 2 fit one chip's HBM; batch_size % grad_accum == 0

@@ -14,7 +14,7 @@ def main():
     cfg = Config(matching=mcfg,
                  model=ModelConfig(name="MS-GCNet", max_disp=192),
                  train=TrainConfig(crop_height=256, crop_width=512,
-                                   batch_size=2, remat=True),
+                                   batch_size=2),
                  data=DataConfig())
     tr = Trainer(cfg)
     state = tr.init_state(tr.feats_shape_for(2))
