@@ -31,7 +31,9 @@ def build_forward():
     from msnets_tpu.ops.features import ms_features_test
 
     mcfg = MatchingConfig()
-    model_cfg = ModelConfig(name="MS-GCNet", max_disp=D)
+    model_cfg = ModelConfig(name="MS-GCNet", max_disp=D,
+                            mid_deconv_mode=os.environ.get(
+                                "BENCH_MID_DECONV", "dense"))
     model = build_model(model_cfg)
 
     rng = np.random.default_rng(0)

@@ -66,6 +66,12 @@ class ModelConfig:
     # compute dtype for convolutions ("bfloat16" recommended on TPU,
     # "float32" for strict parity tests). Params/BN stats stay float32.
     compute_dtype: str = "bfloat16"
+    # lowering for the GCNet mid deconvs (deconvbn1-3): "dense" (XLA
+    # lhs_dilation) or "conv_shuffle" (sparse-FLOP packed conv + shuffle).
+    # Measured on v5e: dense wins the integrated eval graph, conv_shuffle
+    # wins the train step (its k=2 conv VJP beats the dilated conv's).
+    mid_deconv_mode: str = "dense"
+    mid_deconv_mode_train: str = "conv_shuffle"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,6 +12,10 @@ def build_model(model_cfg, remat: bool = False):
                        in_channels=model_cfg.in_channels,
                        num_filters=model_cfg.base_filters,
                        quarter_input=model_cfg.quarter_input,
+                       mid_deconv_mode=getattr(model_cfg, "mid_deconv_mode",
+                                               "dense"),
+                       mid_deconv_mode_train=getattr(
+                           model_cfg, "mid_deconv_mode_train", "conv_shuffle"),
                        dtype=dtype, remat=remat)
     if model_cfg.name == "MS-PSMNet":
         return MSPSMNet(max_disp=model_cfg.max_disp,

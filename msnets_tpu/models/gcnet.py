@@ -36,6 +36,10 @@ class MSGCNet(nn.Module):
     remat: bool = False
     packed_train: bool = True      # run the packed layouts in train too
                                    # (PackedPhaseBN halo-masked statistics)
+    mid_deconv_mode: str = "dense"  # eval lowering for deconvbn1-3 ("dense"
+                                    # | "conv_shuffle"); A/B: perf_deconv3.py
+    mid_deconv_mode_train: str = "conv_shuffle"  # train-branch lowering
+                                    # (its VJP wins: 186.5 vs 194 ms/step)
 
     @nn.compact
     def __call__(self, cv, train: bool = False, stop_at: str = ""):
@@ -109,16 +113,17 @@ class MSGCNet(nn.Module):
         if stop_at == "block4":
             return x
 
-        x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn1")(
-            x, train, "full") + res_l29)
+        md, mdt = self.mid_deconv_mode, self.mid_deconv_mode_train
+        x = nn.relu(deconvbn(2 * F, dtype=dt, mode=md, train_mode=mdt,
+                             name="deconvbn1")(x, train, "full") + res_l29)
         if stop_at == "deconv1":
             return x
-        x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn2")(
-            x, train, "full") + res_l26)
+        x = nn.relu(deconvbn(2 * F, dtype=dt, mode=md, train_mode=mdt,
+                             name="deconvbn2")(x, train, "full") + res_l26)
         if stop_at == "deconv2":
             return x
-        x = nn.relu(deconvbn(2 * F, dtype=dt, name="deconvbn3")(
-            x, train, "full") + res_l23)
+        x = nn.relu(deconvbn(2 * F, dtype=dt, mode=md, train_mode=mdt,
+                             name="deconvbn3")(x, train, "full") + res_l23)
         if stop_at == "deconv3":
             return x
 

@@ -857,11 +857,21 @@ class DeconvBN3D(nn.Module):
     """deconv + BatchNorm (reference deconvbn_3d, gcnet_3dcnn.py:24-27).
 
     Eval mode folds the BN affine into the deconv kernel + bias, exactly as
-    ConvBN3D does (the deconv is linear in its kernel's cout axis)."""
+    ConvBN3D does (the deconv is linear in its kernel's cout axis).
+
+    ``mode`` selects the full-layout lowering (deconv3d_apply): "dense"
+    (XLA lhs_dilation) or "conv_shuffle" (one k=2^3 packed conv + pixel
+    shuffle — sparse FLOPs once). ``train_mode`` overrides it for the train
+    branch: measured on v5e (scripts/perf_deconv3.py, perf_train_step.py,
+    bench.py A/B), dense wins the integrated EVAL graph (44.2 vs 42.0
+    pairs/s) while conv_shuffle wins the TRAIN step (186.5 vs 194.0
+    ms/step at batch 2 — its k=2 conv VJP beats the dilated conv's)."""
     features: int
     stride: int = 2
     kernel: int = 3
     dtype: Any = jnp.float32
+    mode: str = "dense"
+    train_mode: str = ""           # "" -> use `mode` in train too
 
     @nn.compact
     def __call__(self, x, train: bool, lout: str = "full", skips=None):
@@ -900,7 +910,8 @@ class DeconvBN3D(nn.Module):
                           epsilon=1e-5, dtype=jnp.float32,
                           param_dtype=jnp.float32, name="bn")
         if train:
-            x = deconv3d_apply(x, kernel, self.stride, self.dtype)
+            x = deconv3d_apply(x, kernel, self.stride, self.dtype,
+                               self.train_mode or self.mode)
             x = pmesh.constrain_volume(x)
             return bn(x.astype(jnp.float32)).astype(self.dtype)
         a, b = _bn_affine(bn, self.features)
@@ -909,7 +920,7 @@ class DeconvBN3D(nn.Module):
             y = deconv3d_s2_packed_out(x, kf, self.dtype)
             y = y + jnp.tile(b, 8).astype(self.dtype)
         else:
-            y = deconv3d_apply(x, kf, self.stride, self.dtype)
+            y = deconv3d_apply(x, kf, self.stride, self.dtype, self.mode)
             y = y + b.astype(self.dtype)
         return pmesh.constrain_volume(y)
 

@@ -10,9 +10,12 @@ def main():
     from msnets_tpu.config import Config, DataConfig, MatchingConfig, ModelConfig, TrainConfig
     from msnets_tpu.engine import Trainer
 
+    mdm = sys.argv[1] if len(sys.argv) > 1 else "dense"
     mcfg = MatchingConfig()
     cfg = Config(matching=mcfg,
-                 model=ModelConfig(name="MS-GCNet", max_disp=192),
+                 model=ModelConfig(name="MS-GCNet", max_disp=192,
+                                   mid_deconv_mode=mdm,
+                                   mid_deconv_mode_train=mdm),
                  train=TrainConfig(crop_height=256, crop_width=512,
                                    batch_size=2),
                  data=DataConfig())

@@ -22,9 +22,12 @@ def main():
         accum = 2
     else:
         ch, cw, md, bs = 256, 512, 192, 2
+    mdm = sys.argv[4] if len(sys.argv) > 4 else "dense"
     mcfg = MatchingConfig()
     cfg = Config(matching=mcfg,
-                 model=ModelConfig(name="MS-GCNet", max_disp=md, compute_dtype=dtype),
+                 model=ModelConfig(name="MS-GCNet", max_disp=md, compute_dtype=dtype,
+                                   mid_deconv_mode=mdm,
+                                   mid_deconv_mode_train=mdm),
                  train=TrainConfig(crop_height=ch, crop_width=cw,
                                    batch_size=bs, remat=remat,
                                    grad_accum=accum),

@@ -47,6 +47,27 @@ def test_dataset_flag_dispatch():
 
 
 @pytest.mark.slow
+def test_cli_loop_train_resumes_each_epoch(tmp_path, capsys):
+    """loop-train: epoch-granular restart driver (do_main_msnet.sh:143-192
+    semantics) — each epoch resumes from the previous epoch's checkpoint
+    and writes the next model_epoch_%05d file."""
+    lst = _make_tree(tmp_path)
+    ckpt_dir = str(tmp_path / "ck")
+    argv = ["--mode=loop-train", "--crop_height=64", "--crop_width=128",
+            "--max_disp=32", "--batchSize=2", "--nEpochs=2", "--seed=7",
+            f"--data_path={tmp_path}", f"--training_list={lst}",
+            f"--test_list={lst}", f"--checkpoint_dir={ckpt_dir}",
+            "--train_logdir=", "--threads=2", "--compute_dtype=float32",
+            "--no_remat"]
+    cli.main(argv)
+    for ep in (1, 2):
+        assert os.path.exists(os.path.join(
+            ckpt_dir, "MS-GCNet", f"model_epoch_{ep:05d}.msgpack")), ep
+    out = capsys.readouterr().out
+    assert "Epoch 2 Complete" in out
+
+
+@pytest.mark.slow
 def test_cli_train_then_test(tmp_path, capsys, monkeypatch):
     lst = _make_tree(tmp_path)
     ckpt_dir = str(tmp_path / "ck")
