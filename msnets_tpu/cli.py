@@ -65,8 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="e.g. '2,2,2' for (data, spatial, disp)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--num_hosts", type=int, default=1)
+    p.add_argument("--num_hosts", type=int, default=1,
+                   help="input-pipeline shard count (strided, full-coverage)")
     p.add_argument("--host_id", type=int, default=0)
+    p.add_argument("--coordinator", type=str, default="",
+                   help="jax.distributed coordinator address host:port; "
+                        "when set, num_hosts/host_id default from "
+                        "process_count()/process_index()")
     p.add_argument("--remat", dest="remat", action="store_true",
                    help="rematerialize BN'd stages (needed above the "
                         "reference crop/batch; see TrainConfig.remat)")
@@ -90,7 +95,8 @@ def args_to_config(a) -> Config:
                           log_summary_step=a.log_summary_step,
                           checkpoint_dir=a.checkpoint_dir,
                           train_logdir=a.train_logdir, resume=a.resume,
-                          remat=a.remat, grad_accum=a.grad_accum),
+                          remat=a.remat, grad_accum=a.grad_accum,
+                          num_hosts=a.num_hosts, host_id=a.host_id),
         data=DataConfig(data_path=a.data_path, training_list=a.training_list,
                         test_list=a.test_list,
                         kitti2012=bool(a.kitti2012),
@@ -127,7 +133,9 @@ def run_train(cfg: Config, mesh=None, log=print):
     pipe = TrainPipeline(cfg.data, cfg.matching, cfg.train.crop_height,
                          cfg.train.crop_width, cfg.model.max_disp,
                          cfg.train.batch_size, seed=cfg.train.seed,
-                         num_threads=cfg.train.num_workers)
+                         num_threads=cfg.train.num_workers,
+                         num_hosts=cfg.train.num_hosts,
+                         host_id=cfg.train.host_id)
     steps = pipe.steps_per_epoch()
     writer = None
     if cfg.train.train_logdir:
@@ -195,6 +203,13 @@ def run_test(cfg: Config, mesh=None, log=print):
 
 def main(argv=None):
     a = build_parser().parse_args(argv)
+    if a.coordinator:
+        from .parallel.mesh import init_distributed
+        nh, hid = init_distributed(
+            coordinator_address=a.coordinator,
+            num_processes=a.num_hosts if a.num_hosts > 1 else None,
+            process_id=a.host_id)
+        a.num_hosts, a.host_id = nh, hid
     cfg = args_to_config(a)
     mesh = make_mesh_from_arg(a.mesh)
     print(f"[***] mode={cfg.mode} model={cfg.model.name} "

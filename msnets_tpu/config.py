@@ -109,6 +109,12 @@ class TrainConfig:
     # accumulating gradients (BatchNorm stats thread through sequentially).
     # Lets train-crop batch 2 fit one chip's HBM; batch_size % grad_accum == 0
     grad_accum: int = 1
+    # multi-host input sharding: each host streams entries
+    # perm[host_id::num_hosts] of the epoch permutation (the corrected
+    # my_worker_init_fn, SURVEY.md §2.2 / dataset.py:349-357). With
+    # jax.distributed these default from process_count()/process_index().
+    num_hosts: int = 1
+    host_id: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,6 +30,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXES = ("data", "spatial", "disp")
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> Tuple[int, int]:
+    """Multi-host initialization (SURVEY.md §5.8).
+
+    Single-process (the default, and everything the reference supports —
+    its only parallelism is single-process DataParallel) is a no-op. On a
+    real pod slice call with the coordinator's address, or with no args on
+    Cloud TPU where jax.distributed auto-detects from the metadata server.
+    Returns (num_hosts, host_id) for the input-pipeline shard
+    (TrainPipeline(num_hosts=..., host_id=...)).
+    """
+    if coordinator_address or (num_processes or 0) > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_count(), jax.process_index()
+
+
 def factorize_devices(n: int) -> Tuple[int, int, int]:
     """Split n devices over (data, spatial, disp), preferring data first.
 

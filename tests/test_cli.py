@@ -39,6 +39,22 @@ def test_parser_defaults_match_reference():
     assert cfg.model.max_disp == 192
 
 
+def test_host_shard_flags_reach_pipeline(tmp_path):
+    """--num_hosts/--host_id must propagate to the TrainPipeline's strided
+    input shard (multi-host input pipeline, SURVEY.md §2.3)."""
+    lst = _make_tree(tmp_path, n=5)
+    a = cli.build_parser().parse_args(
+        ["--num_hosts=2", "--host_id=1", f"--training_list={lst}",
+         f"--data_path={tmp_path}"])
+    cfg = cli.args_to_config(a)
+    assert cfg.train.num_hosts == 2 and cfg.train.host_id == 1
+    from msnets_tpu.data.pipeline import TrainPipeline
+    p = TrainPipeline(cfg.data, cfg.matching, 64, 128, 32, 1,
+                      num_hosts=cfg.train.num_hosts,
+                      host_id=cfg.train.host_id)
+    assert p.steps_per_epoch() == 2     # 5 entries // 2 hosts // batch 1
+
+
 def test_dataset_flag_dispatch():
     a = cli.build_parser().parse_args(["--kitti2015=1"])
     cfg = cli.args_to_config(a)
