@@ -157,8 +157,14 @@ def run_train(cfg: Config, mesh=None, log=print):
         if writer is not None and iteration % ls == ls - 1:
             n = max(run_log["n"], 1)
             writer.scalars(gstep, run_log["loss"] / n, run_log["epe"] / n)
+            # per-matcher argmin feature-quality probe (main_msnet.py:443-458)
+            probe = tr.matcher_probe_fn(
+                batch["board_h"], batch["board_w_left"],
+                batch["board_w_right"])(batch["iml"], batch["imr"])
             writer.images(gstep, batch["left_rgb"], batch["right_rgb"],
-                          np.asarray(disp), batch["disp"])
+                          np.asarray(disp), batch["disp"],
+                          matcher_argmin=S.matcher_argmin_from_probe(
+                              np.asarray(probe)))
             run_log.update(loss=0.0, epe=0.0, n=0)
 
     avg = {}

@@ -190,6 +190,27 @@ class Trainer:
             self._step_fns[key] = self._build_step(*key)
         return self._step_fns[key]
 
+    def matcher_probe_fn(self, board_h: int, bwl: int, bwr: int):
+        """Jitted per-matcher argmin probe of the input cost channels —
+        the reference's TensorBoard feature-quality images
+        (main_msnet.py:443-458). Recomputes the device feature stage
+        (~2.5 ms/pair), so call it only on summary steps; the train step
+        itself stays a 3-tuple."""
+        key = ("probe", board_h, bwl, bwr)
+        if key not in self._step_fns:
+            mcfg = self.cfg.matching
+            max_disp = self.cfg.model.max_disp
+
+            @jax.jit
+            def probe(iml, imr):
+                feats = jax.vmap(lambda a, b: ms_features_train(
+                    a, b, max_disp, mcfg, board_h, bwl, bwr,
+                    mcfg.left_only, jnp.bfloat16))(iml, imr)
+                return jnp.argmin(feats[..., :4], axis=1).astype(jnp.float32)
+
+            self._step_fns[key] = probe
+        return self._step_fns[key]
+
     # -- epoch loop -------------------------------------------------------
     def train_epoch(self, state: TrainState, pipeline, epoch: int,
                     log_fn=None) -> Tuple[TrainState, Dict[str, float]]:

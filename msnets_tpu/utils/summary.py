@@ -96,3 +96,10 @@ def matcher_argmin_probe(feats_ndhwc: np.ndarray) -> Dict[str, np.ndarray]:
     names = ("censusL", "nccL", "sobL", "sadL")
     return {n: np.argmin(feats_ndhwc[..., i], axis=1).astype(np.float32)
             for i, n in enumerate(names)}
+
+
+def matcher_argmin_from_probe(probe_nhw4: np.ndarray) -> Dict[str, np.ndarray]:
+    """Same dict from a device-computed probe [N, H, W, 4]
+    (Trainer.matcher_probe_fn) — avoids fetching the full feature volume."""
+    names = ("censusL", "nccL", "sobL", "sadL")
+    return {n: probe_nhw4[..., i] for i, n in enumerate(names)}

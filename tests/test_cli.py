@@ -89,15 +89,19 @@ def test_cli_train_then_test(tmp_path, capsys, monkeypatch):
     ckpt_dir = str(tmp_path / "ck")
     # small model via monkeypatched config: shrink base filters through CLI?
     # keep default arch but tiny crops for speed
+    logdir = str(tmp_path / "tb")
     argv = ["--mode=train", "--crop_height=64", "--crop_width=128",
             "--max_disp=32", "--batchSize=2", "--nEpochs=1", "--seed=7",
             f"--data_path={tmp_path}", f"--training_list={lst}",
             f"--test_list={lst}", f"--checkpoint_dir={ckpt_dir}",
-            "--train_logdir=", "--threads=2", "--compute_dtype=float32",
-            "--no_remat"]
+            f"--train_logdir={logdir}", "--log_summary_step=1",
+            "--threads=2", "--compute_dtype=float32", "--no_remat"]
     cli.main(argv)
     ck = os.path.join(ckpt_dir, "MS-GCNet", "model_epoch_00001.msgpack")
     assert os.path.exists(ck)
+    # summary writer ran: scalars + image grids + per-matcher argmin probes
+    events = [f for f in os.listdir(logdir) if "events" in f]
+    assert events and os.path.getsize(os.path.join(logdir, events[0])) > 1000
 
     out = capsys.readouterr().out
     assert "Epoch 1 Complete" in out
