@@ -76,12 +76,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize BN'd stages (needed above the "
                         "reference crop/batch; see TrainConfig.remat)")
     p.add_argument("--no_remat", dest="remat", action="store_false")
-    p.set_defaults(remat=TrainConfig.remat)
+    # None -> model-dependent default in args_to_config (MS-PSMNet needs
+    # remat at the reference recipe: 24.3G > 15.75G HBM without it)
+    p.set_defaults(remat=None)
     return p
 
 
 def args_to_config(a) -> Config:
     seed = a.seed if a.seed > 0 else int(time.time()) % (2 ** 31)
+    remat = a.remat if a.remat is not None else (
+        a.model_name == "MS-PSMNet" or TrainConfig.remat)
     return Config(
         matching=MatchingConfig(sf_frames_type=a.sf_frames,
                                 num_channels=a.cbmv_F),
@@ -95,7 +99,7 @@ def args_to_config(a) -> Config:
                           log_summary_step=a.log_summary_step,
                           checkpoint_dir=a.checkpoint_dir,
                           train_logdir=a.train_logdir, resume=a.resume,
-                          remat=a.remat, grad_accum=a.grad_accum,
+                          remat=remat, grad_accum=a.grad_accum,
                           num_hosts=a.num_hosts, host_id=a.host_id),
         data=DataConfig(data_path=a.data_path, training_list=a.training_list,
                         test_list=a.test_list,

@@ -769,6 +769,26 @@ def deconv3d_s2_pz_slabs(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
     return tuple(slabs)
 
 
+def d_unsplit_pack(y: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `d_split_pack`: [N, D/2, Hb, Wb, 8C] packed-3d
+    (qd, qh, qw, c) -> [N, D, Hb, Wb, 4C] packed-std (qh, qw, c).
+    Major-axis move only (channels stay minor) — near-bandwidth."""
+    N, Dp, Hb, Wb, C8 = y.shape
+    ys = y.reshape(N, Dp, Hb, Wb, 2, C8 // 2)
+    return jnp.transpose(ys, (0, 1, 4, 2, 3, 5)).reshape(
+        N, 2 * Dp, Hb, Wb, C8 // 2)
+
+
+def packed3d_interleave(y: jnp.ndarray) -> jnp.ndarray:
+    """[N, D, H, W, 8C] packed-3d (qd, qh, qw, c) -> full [N, 2D, 2H, 2W, C]
+    depth-to-space interleave (the tail of `deconv3d_conv_shuffle`)."""
+    N, D, H, W, C8 = y.shape
+    c = C8 // 8
+    y = y.reshape(N, D, H, W, 2, 2, 2, c)
+    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
+    return y.reshape(N, 2 * D, 2 * H, 2 * W, c)
+
+
 def d_split_pack(x: jnp.ndarray) -> jnp.ndarray:
     """[N, D, Hb, Wb, 4C] packed-std (qh, qw, c) -> [N, D/2, Hb, Wb, 8C]
     packed-3d (qd, qh, qw, c): folds the depth parity into channels so a
@@ -906,6 +926,20 @@ class DeconvBN3D(nn.Module):
             n = y.shape[0] * y.shape[1] * y.shape[2] * y.shape[3] * 8
             y = PackedPhaseBN(self.features, 8, n, name="bn")(y)
             return pmesh.constrain_volume(y.astype(self.dtype))
+        if (train and (self.train_mode or self.mode) == "conv_shuffle"
+                and self.stride == 2 and k == 3):
+            # BN the PACKED conv output (channels 8C, no lane padding),
+            # interleave in bf16 afterwards: the f32 BN convert of the
+            # interleaved-layout tensor cost a 4x lane-pad blowup (3 GB
+            # per hourglass deconv at the PSMNet reference recipe).
+            # PackedPhaseBN's joint phase stats == full-layout BN stats
+            # exactly (every deconv output position is in-image).
+            y = deconv3d_s2_packed_out(x, kernel.astype(self.dtype),
+                                       self.dtype)
+            n = y.shape[0] * y.shape[1] * y.shape[2] * y.shape[3] * 8
+            y = PackedPhaseBN(self.features, 8, n, name="bn")(y)
+            y = packed3d_interleave(y.astype(self.dtype))
+            return pmesh.constrain_volume(y)
         bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=jnp.float32,
                           param_dtype=jnp.float32, name="bn")

@@ -23,53 +23,91 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import (ConvBN3D, Deconv3D, hw_unpack,
+from .layers import (ConvBN3D, DeconvBN3D, d_unsplit_pack, hw_unpack,
                      resize_trilinear_align_corners, soft_argmin)
 
 
 class Hourglass(nn.Module):
-    """2-level 3-D hourglass (psmnet_3dcnn.py:47-89)."""
+    """2-level 3-D hourglass (psmnet_3dcnn.py:47-89).
+
+    conv5/conv6 are DeconvBN3D stages: eval folds their BN affine into the
+    deconv kernels (no f32 full-volume BN round-trips), and train lowers
+    them via conv_shuffle — the dense lhs_dilation lowering materializes
+    bf16 intermediates in a channels-non-minor layout with a 4x
+    lane-padding blowup (1.6 GB each at the reference recipe, the OOM
+    driver at crop 256x512 batch 2), and its VJP also lost the GCNet A/B
+    (PERF.md). ``remat_stages`` rematerializes each conv/deconv+BN stage
+    individually so the backward's live set stays one stage deep."""
     inplanes: int
     dtype: Any = jnp.float32
+    deconv_mode_train: str = "conv_shuffle"
+    remat_stages: bool = False
 
     @nn.compact
     def __call__(self, x, presqu, postsqu, train: bool,
-                 lin_first: str = "full"):
+                 lin_first: str = "full", lout: str = "full"):
         c = self.inplanes
         dt = self.dtype
-        out = nn.relu(ConvBN3D(2 * c, 2, dtype=dt, name="conv1")(
+        cbn, dbn = ConvBN3D, DeconvBN3D
+        if self.remat_stages:
+            cbn = nn.remat(ConvBN3D, static_argnums=(2, 3, 4))
+            dbn = nn.remat(DeconvBN3D, static_argnums=(2, 3))
+        out = nn.relu(cbn(2 * c, 2, dtype=dt, name="conv1")(
             x, train, lin_first, "full"))
-        pre = ConvBN3D(2 * c, 1, dtype=dt, name="conv2")(out, train)
+        pre = cbn(2 * c, 1, dtype=dt, name="conv2")(out, train, "full", "full")
         if postsqu is not None:
             pre = nn.relu(pre + postsqu)
         else:
             pre = nn.relu(pre)
 
-        out = nn.relu(ConvBN3D(2 * c, 2, dtype=dt, name="conv3")(pre, train))
-        out = nn.relu(ConvBN3D(2 * c, 1, dtype=dt, name="conv4")(out, train))
+        out = nn.relu(cbn(2 * c, 2, dtype=dt, name="conv3")(
+            pre, train, "full", "full"))
+        out = nn.relu(cbn(2 * c, 1, dtype=dt, name="conv4")(
+            out, train, "full", "full"))
 
-        up = Deconv3D(2 * c, dtype=dt, name="conv5_deconv")(out)
-        up = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, dtype=jnp.float32,
-                          name="conv5_bn")(up.astype(jnp.float32)).astype(dt)
+        up = dbn(2 * c, dtype=dt, train_mode=self.deconv_mode_train,
+                 name="conv5")(out, train, "full")
         if presqu is not None:
             post = nn.relu(up + presqu)
         else:
             post = nn.relu(up + pre)
 
-        out = Deconv3D(c, dtype=dt, name="conv6_deconv")(post)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=jnp.float32,
-                           name="conv6_bn")(out.astype(jnp.float32)).astype(dt)
+        if lout == "std":
+            # emit the output volume in packed-std layout: conv6's deconv
+            # output stays phase-packed (packed3d, PackedPhaseBN) and only
+            # the depth parity is unfolded — a near-bandwidth major move.
+            # Keeps the full-res outer graph (skip adds, classifiers) in
+            # 128-channel packed tensors: full-layout 32-channel volumes
+            # pay a 4x MXU lane-padding blowup in HBM on v5e.
+            assert train
+            yp = dbn(c, dtype=dt, train_mode=self.deconv_mode_train,
+                     name="conv6")(post, train, "packed3d")
+            return d_unsplit_pack(yp), pre, post
+        out = dbn(c, dtype=dt, train_mode=self.deconv_mode_train,
+                  name="conv6")(post, train, "full")
         return out, pre, post
 
 
 class _Classifier(nn.Module):
+    """convbn+ReLU then Conv3d(32->1) (reference psmnet_3dcnn.py:111-121).
+
+    lin="std" consumes a packed-std volume: convbn runs std->shift, the
+    cout=1 conv runs shift->std in packed space (its taps read the zeroed
+    shift halo as padding), and the tiny 4-channel result is interleaved
+    to [N, D, H, W, 1]. Param tree is identical to the full path."""
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        from .layers import Conv3D
+    def __call__(self, x, train: bool, lin: str = "full"):
+        from .layers import (Conv3D, _KernelHolder, conv3d_s1_hw_packed,
+                             hw_unpack)
+        if lin == "std":
+            h = nn.relu(ConvBN3D(32, 1, dtype=self.dtype, name="convbn")(
+                x, train, "std", "shift"))
+            kernel = _KernelHolder((3, 3, 3, 32, 1), 3, name="conv")()
+            y = conv3d_s1_hw_packed(h, kernel.astype(self.dtype),
+                                    self.dtype, to_shifted=False)
+            return hw_unpack(y)
         x = nn.relu(ConvBN3D(32, 1, dtype=self.dtype, name="convbn")(x, train))
         return Conv3D(1, 1, 3, self.dtype, name="conv")(x)
 
@@ -105,42 +143,59 @@ class MSPSMNet(nn.Module):
         use_packed = ((not train or self.packed_train)
                       and H_in % 2 == 0 and W_in % 2 == 0
                       and H_in >= 4 and W_in >= 4)
+        # remat the full-res dres chain and the classifier heads too — the
+        # hourglasses alone leave the dres/classifier BN f32 residuals live
+        # through the backward (182 MB over HBM at the reference recipe)
+        cbn, clf = ConvBN3D, _Classifier
+        if self.remat:
+            cbn = nn.remat(ConvBN3D, static_argnums=(2, 3, 4))
+            clf = nn.remat(_Classifier, static_argnums=(2, 3))
         if use_packed:
-            h = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres0_1")(
+            h = nn.relu(cbn(32, 1, dtype=dt, name="dres0_1")(
                 x, train, "full", "shift"))
-            cost0p = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres0_2")(
+            cost0p = nn.relu(cbn(32, 1, dtype=dt, name="dres0_2")(
                 h, train, "shift", "std"))
-            h = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres1_1")(
+            h = nn.relu(cbn(32, 1, dtype=dt, name="dres1_1")(
                 cost0p, train, "std", "shift"))
-            h = ConvBN3D(32, 1, dtype=dt, name="dres1_2")(
+            h = cbn(32, 1, dtype=dt, name="dres1_2")(
                 h, train, "shift", "std")
             cost0p = h + cost0p
-            cost0 = hw_unpack(cost0p)
-            hg1_in, hg1_lin = cost0p, "std"
+            if train:
+                # train keeps the ENTIRE outer graph packed-std: hourglass
+                # outputs, skip adds and classifiers never materialize a
+                # full-layout 32-channel volume (4x lane padding, the OOM
+                # driver at the reference recipe). Eval unpacks once - its
+                # integrated graph was tuned full-layout (PERF.md).
+                cost0, hg1_in, hg1_lin = None, cost0p, "std"
+            else:
+                cost0 = hw_unpack(cost0p)
+                hg1_in, hg1_lin = cost0p, "std"
         else:
-            h = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres0_1")(x, train))
-            cost0 = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres0_2")(h, train))
-            h = nn.relu(ConvBN3D(32, 1, dtype=dt, name="dres1_1")(cost0, train))
-            h = ConvBN3D(32, 1, dtype=dt, name="dres1_2")(h, train)
+            h = nn.relu(cbn(32, 1, dtype=dt, name="dres0_1")(
+                x, train, "full", "full"))
+            cost0 = nn.relu(cbn(32, 1, dtype=dt, name="dres0_2")(
+                h, train, "full", "full"))
+            h = nn.relu(cbn(32, 1, dtype=dt, name="dres1_1")(
+                cost0, train, "full", "full"))
+            h = cbn(32, 1, dtype=dt, name="dres1_2")(h, train, "full", "full")
             cost0 = h + cost0
             hg1_in, hg1_lin = cost0, "full"
+        hg = lambda name: Hourglass(32, dtype=dt,
+                                    remat_stages=self.remat, name=name)
+        packed_outer = use_packed and train
+        lio = "std" if packed_outer else "full"
+        skip = cost0p if packed_outer else cost0
+        out1, pre1, post1 = hg("dres2")(hg1_in, None, None, train,
+                                        hg1_lin, lio)
+        out1 = out1 + skip
+        out2, _, post2 = hg("dres3")(out1, pre1, post1, train, lio, lio)
+        out2 = out2 + skip
+        out3, _, _ = hg("dres4")(out2, pre1, post2, train, lio, lio)
+        out3 = out3 + skip
 
-        hg = Hourglass
-        if self.remat:
-            hg = nn.remat(Hourglass, static_argnums=(4, 5))
-        out1, pre1, post1 = hg(32, dtype=dt, name="dres2")(
-            hg1_in, None, None, train, hg1_lin)
-        out1 = out1 + cost0
-        out2, _, post2 = hg(32, dtype=dt, name="dres3")(
-            out1, pre1, post1, train, "full")
-        out2 = out2 + cost0
-        out3, _, _ = hg(32, dtype=dt, name="dres4")(
-            out2, pre1, post2, train, "full")
-        out3 = out3 + cost0
-
-        cost1 = _Classifier(dtype=dt, name="classif1")(out1, train)
-        cost2 = _Classifier(dtype=dt, name="classif2")(out2, train) + cost1
-        cost3 = _Classifier(dtype=dt, name="classif3")(out3, train) + cost2
+        cost1 = clf(dtype=dt, name="classif1")(out1, train, lio)
+        cost2 = clf(dtype=dt, name="classif2")(out2, train, lio) + cost1
+        cost3 = clf(dtype=dt, name="classif3")(out3, train, lio) + cost2
 
         def regress(c):
             # [N, D_in, H_in, W_in, 1] -> upsample -> [N, D, H, W] -> disparity

@@ -83,10 +83,12 @@ def _hourglass_entries(torch_prefix: str, flax_name: str):
     e += _convbn_entries(f"{torch_prefix}.conv2", (flax_name, "conv2"))
     e += _convbn_entries(f"{torch_prefix}.conv3.0", (flax_name, "conv3"))
     e += _convbn_entries(f"{torch_prefix}.conv4.0", (flax_name, "conv4"))
+    # conv5/conv6 = Seq(ConvTranspose3d, BatchNorm3d) -> DeconvBN3D
     for c in (5, 6):
         e.append((f"{torch_prefix}.conv{c}.0.weight", "params",
-                  (flax_name, f"conv{c}_deconv", "kernel"), _deconv3d))
-        e += _bn_entries(f"{torch_prefix}.conv{c}.1", (flax_name, f"conv{c}_bn"))
+                  (flax_name, f"conv{c}", "deconv", "kernel"), _deconv3d))
+        e += _bn_entries(f"{torch_prefix}.conv{c}.1",
+                         (flax_name, f"conv{c}", "bn"))
     return e
 
 

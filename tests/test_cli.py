@@ -62,6 +62,21 @@ def test_dataset_flag_dispatch():
     assert cfg.data.bad_threshold == 3.0
 
 
+def test_remat_default_is_model_dependent():
+    """MS-PSMNet train needs remat at the reference recipe (24.3G > HBM
+    without it); MS-GCNet is faster without. --remat/--no_remat override."""
+    c = cli.args_to_config(cli.build_parser().parse_args([]))
+    assert c.train.remat is False
+    c = cli.args_to_config(cli.build_parser().parse_args(
+        ["--model_name=MS-PSMNet"]))
+    assert c.train.remat is True
+    c = cli.args_to_config(cli.build_parser().parse_args(
+        ["--model_name=MS-PSMNet", "--no_remat"]))
+    assert c.train.remat is False
+    c = cli.args_to_config(cli.build_parser().parse_args(["--remat"]))
+    assert c.train.remat is True
+
+
 @pytest.mark.slow
 def test_cli_loop_train_resumes_each_epoch(tmp_path, capsys):
     """loop-train: epoch-granular restart driver (do_main_msnet.sh:143-192

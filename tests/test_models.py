@@ -500,6 +500,35 @@ def test_psmnet_train_packed_matches_unpacked():
                                    rtol=2e-3, atol=2e-3, err_msg=str(path))
 
 
+def test_psmnet_remat_matches_plain():
+    """remat=True (dres chain + hourglasses + classifiers wrapped) must be
+    numerically identical to the plain graph; train deconvs use
+    conv_shuffle in both, so outputs match to fp noise."""
+    rng = np.random.default_rng(12)
+    cv = jnp.asarray(rng.standard_normal((1, 8, 8, 16, 8)), jnp.float32)
+    mr = MSPSMNet(max_disp=16, dtype=jnp.float32, remat=True)
+    mp = MSPSMNet(max_disp=16, dtype=jnp.float32, remat=False)
+    v = mp.init(jax.random.PRNGKey(1), cv, True)
+    orr, sr = mr.apply(v, cv, True, mutable=["batch_stats"])
+    op, sp = mp.apply(v, cv, True, mutable=["batch_stats"])
+    for a, b in zip(orr, op):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    ref = dict(jax.tree_util.tree_leaves_with_path(sp["batch_stats"]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(sr["batch_stats"]):
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref[path]),
+                                   rtol=1e-5, atol=1e-5, err_msg=str(path))
+    # and gradients flow through the remat graph
+    def loss(params):
+        out, _ = mr.apply({"params": params,
+                           "batch_stats": v["batch_stats"]}, cv, True,
+                          mutable=["batch_stats"])
+        return sum(jnp.mean(o) for o in out)
+    g = jax.grad(loss)(v["params"])
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
+
+
 def test_head_pzslab_matches_packed3d():
     """The slab-pair head (layers.SubpixelSoftArgminHead._pzslab) must equal
     the packed-3d head on the same volume: slab t of a packed-3d tensor is
