@@ -57,7 +57,10 @@ def main():
                 def loop(x, kk):
                     def body(c, _):
                         y = conv((x + cast(c)).astype(x.dtype), kk, acc)
-                        return y[0, 0, 0, :8].sum().astype(jnp.int32) % 2, None
+                        # consume the FULL output — a sliced consumer lets
+                        # XLA compute only a window of the conv
+                        s = y.astype(jnp.float32).sum()
+                        return s.astype(jnp.int32) % 2, None
                     c, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
                                         None, length=n)
                     return c
