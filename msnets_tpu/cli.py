@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize BN'd stages (needed above the "
                         "reference crop/batch; see TrainConfig.remat)")
     p.add_argument("--no_remat", dest="remat", action="store_false")
+    p.add_argument("--quant_eval", type=int, default=0,
+                   help="int8 eval of the stem/encoder convs (2x MXU rate; "
+                        "~0.1 px disparity delta, scripts/perf_quant_eval.py)")
     # None -> model-dependent default in args_to_config (MS-PSMNet needs
     # remat at the reference recipe: 24.3G > 15.75G HBM without it)
     p.set_defaults(remat=None)
@@ -91,7 +94,8 @@ def args_to_config(a) -> Config:
                                 num_channels=a.cbmv_F),
         model=ModelConfig(name=a.model_name, max_disp=a.max_disp,
                           in_channels=a.cbmv_F,
-                          compute_dtype=a.compute_dtype),
+                          compute_dtype=a.compute_dtype,
+                          quant_eval=bool(a.quant_eval)),
         train=TrainConfig(crop_height=a.crop_height, crop_width=a.crop_width,
                           batch_size=a.batchSize, lr=a.lr,
                           epochs=a.nEpochs, start_epoch=a.startEpoch,

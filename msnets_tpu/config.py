@@ -72,6 +72,10 @@ class ModelConfig:
     # wins the train step (its k=2 conv VJP beats the dilated conv's).
     mid_deconv_mode: str = "dense"
     mid_deconv_mode_train: str = "conv_shuffle"
+    # int8 eval of the stem/encoder convs: dynamic per-tensor activation +
+    # per-channel weight symmetric quantization onto the MXU's 2x s8 rate
+    # (scripts/perf_int8_conv.py / perf_quant_eval.py). Train is unaffected.
+    quant_eval: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,6 +16,7 @@ def build_model(model_cfg, remat: bool = False):
                                                "dense"),
                        mid_deconv_mode_train=getattr(
                            model_cfg, "mid_deconv_mode_train", "conv_shuffle"),
+                       quant_eval=getattr(model_cfg, "quant_eval", False),
                        dtype=dtype, remat=remat)
     if model_cfg.name == "MS-PSMNet":
         return MSPSMNet(max_disp=model_cfg.max_disp,

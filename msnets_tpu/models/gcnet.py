@@ -40,6 +40,10 @@ class MSGCNet(nn.Module):
                                     # | "conv_shuffle"); A/B: perf_deconv3.py
     mid_deconv_mode_train: str = "conv_shuffle"  # train-branch lowering
                                     # (its VJP wins: 186.5 vs 194 ms/step)
+    quant_eval: bool = False        # int8 eval of the stem/encoder convs
+                                    # (s8xs8->s32 MXU, 2.6x on stem shapes;
+                                    # scripts/perf_quant_eval.py for the
+                                    # accuracy/throughput A/B)
 
     @nn.compact
     def __call__(self, cv, train: bool = False, stop_at: str = ""):
@@ -52,6 +56,7 @@ class MSGCNet(nn.Module):
         graph; "" (default) runs everything."""
         F = self.num_filters
         dt = self.dtype
+        q = self.quant_eval and not train
         x = cv.astype(dt)
 
         # remat every BN'd stage: BatchNorm keeps float32 intermediates whose
@@ -79,16 +84,16 @@ class MSGCNet(nn.Module):
             # conv1 enters the packed world directly from the full-res volume
             # (stride-2 expanded kernel — an explicit hw_pack transpose of
             # the 8-channel input costs 4.9 ms on v5e)
-            x1 = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(
+            x1 = nn.relu(convbn(F, 1, dtype=dt, quant=q, name="conv3dbn_1")(
                 x, train, "full", "shift"))
-            x2 = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_2")(
+            x2 = nn.relu(convbn(F, 1, dtype=dt, quant=q, name="conv3dbn_2")(
                 x1, train, "shift", "std"))
             res_l20, res_l20p = None, x2      # stays packed; see decoder tail
             if self.quarter_input:            # x4 tail can't consume packed
                 res_l20, res_l20p = hw_unpack(x2), None
             if stop_at == "stem":
                 return x2
-            x = block(2 * F, 2, dtype=dt, name="block_3d_1")(x2, train, "std")
+            x = block(2 * F, 2, dtype=dt, quant=q, name="block_3d_1")(x2, train, "std")
         else:
             x = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(
                 x, train, "full", "full"))
@@ -97,19 +102,19 @@ class MSGCNet(nn.Module):
             res_l20 = x
             if stop_at == "stem":
                 return x
-            x = block(2 * F, 2, dtype=dt, name="block_3d_1")(x, train, "full")
+            x = block(2 * F, 2, dtype=dt, quant=q, name="block_3d_1")(x, train, "full")
         if stop_at == "block1":
             return x
         res_l23 = x
-        x = block(2 * F, 2, dtype=dt, name="block_3d_2")(x, train, "full")
+        x = block(2 * F, 2, dtype=dt, quant=q, name="block_3d_2")(x, train, "full")
         if stop_at == "block2":
             return x
         res_l26 = x
-        x = block(2 * F, 2, dtype=dt, name="block_3d_3")(x, train, "full")
+        x = block(2 * F, 2, dtype=dt, quant=q, name="block_3d_3")(x, train, "full")
         if stop_at == "block3":
             return x
         res_l29 = x
-        x = block(4 * F, 2, dtype=dt, name="block_3d_4")(x, train, "full")
+        x = block(4 * F, 2, dtype=dt, quant=q, name="block_3d_4")(x, train, "full")
         if stop_at == "block4":
             return x
 

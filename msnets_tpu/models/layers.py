@@ -43,6 +43,36 @@ def he_normal_msnets(kernel_spatial: int = 3):
 _S2_HW_S2D_MIN_VOXELS = 1_000_000
 
 
+def _quant_act(x):
+    """Symmetric per-tensor int8 quantization of an activation tensor.
+
+    Returns (int8 tensor, f32 scale). v5e's MXU runs s8 x s8 -> s32 at 2x
+    the bf16 rate (measured 2.6x on the stem conv shapes,
+    scripts/perf_int8_conv.py); the one extra max-abs pass over the
+    activation is bandwidth-cheap next to the conv it feeds."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _quant_kernels(ks):
+    """Quantize per-tap conv kernels jointly, per OUTPUT channel.
+
+    One shared per-cout scale across all taps lets the taps' int32 partial
+    sums accumulate exactly before a single dequantization. Per-channel
+    scales absorb the folded BN gamma, so quantization error stays relative
+    per channel. Returns ([int8 kernels], scale[cout] f32)."""
+    kf = [k.astype(jnp.float32) for k in ks]
+    amax = None
+    for k in kf:
+        m = jnp.max(jnp.abs(k), axis=tuple(range(k.ndim - 1)))
+        amax = m if amax is None else jnp.maximum(amax, m)
+    sk = jnp.maximum(amax, 1e-12) / 127.0
+    kq = [jnp.clip(jnp.round(k / sk), -127, 127).astype(jnp.int8) for k in kf]
+    return kq, sk
+
+
 def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                  pad: int, dtype, decompose: bool = True) -> jnp.ndarray:
     """3-D convolution, NDHWC x DHWIO.
@@ -109,7 +139,8 @@ def _hw_block_kernel(kernel: jnp.ndarray, kz: int, dtype) -> jnp.ndarray:
 
 
 def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
-                     dtype, packed_input: bool = False) -> jnp.ndarray:
+                     dtype, packed_input: bool = False,
+                     quantized: bool = False) -> jnp.ndarray:
     """k=3, stride-2, pad-1 conv3d via H,W space-to-depth + D-parity split.
 
     XLA's native stride-2 conv3d is the encoder's worst MXU shape (~6-7
@@ -130,15 +161,21 @@ def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
         N, D, H2, W2, c4 = x.shape
         assert c4 == 4 * cin and D % 2 == 0
         D2 = D // 2
-        xs = x.astype(dtype)
+        xs = x
     else:
         N, D, H, W, _ = x.shape
         assert D % 2 == 0 and H % 2 == 0 and W % 2 == 0
         D2, H2, W2 = D // 2, H // 2, W // 2
-        x = x.astype(dtype)
         xs = x.reshape(N, D, H2, 2, W2, 2, cin)
         xs = jnp.transpose(xs, (0, 1, 2, 4, 3, 5, 6)).reshape(N, D, H2, W2,
                                                               4 * cin)
+    k2s = [_hw_block_kernel(kernel, kz, jnp.float32 if quantized else dtype)
+           for kz in (1, 2, 0)]
+    if quantized:
+        xs, sx = _quant_act(xs)
+        k2s, sk = _quant_kernels(k2s)
+    else:
+        xs = xs.astype(dtype)
     xe = xs[:, 0::2]                                   # planes 2m
     xo = xs[:, 1::2]                                   # planes 2m+1
     xo_m1 = jnp.pad(xo, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :D2]
@@ -147,13 +184,15 @@ def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
         s2 = v.reshape(N * D2, H2, W2, 4 * cin)
         dn = jax.lax.conv_dimension_numbers(s2.shape, k2.shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(s2, k2, (1, 1), [(1, 0), (1, 0)],
-                                         dimension_numbers=dn)
+        y = jax.lax.conv_general_dilated(
+            s2, k2, (1, 1), [(1, 0), (1, 0)], dimension_numbers=dn,
+            preferred_element_type=jnp.int32 if quantized else None)
         return y.reshape(N, D2, H2, W2, cout)
 
-    return (c2d(xe, _hw_block_kernel(kernel, 1, dtype)) +
-            c2d(xo, _hw_block_kernel(kernel, 2, dtype)) +
-            c2d(xo_m1, _hw_block_kernel(kernel, 0, dtype)))
+    out = c2d(xe, k2s[0]) + c2d(xo, k2s[1]) + c2d(xo_m1, k2s[2])
+    if quantized:
+        out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
+    return out
 
 
 def hw_pack(x: jnp.ndarray) -> jnp.ndarray:
@@ -214,7 +253,8 @@ def _s1_packed_kernel(k2d: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def conv3d_s1_hw_packed(xp: jnp.ndarray, kernel: jnp.ndarray, dtype,
-                        to_shifted: bool) -> jnp.ndarray:
+                        to_shifted: bool,
+                        quantized: bool = False) -> jnp.ndarray:
     """k=3, stride-1, pad-1 conv3d computed entirely in H,W space-to-depth
     packed layout (see `hw_pack`).
 
@@ -229,18 +269,27 @@ def conv3d_s1_hw_packed(xp: jnp.ndarray, kernel: jnp.ndarray, dtype,
     N, D, Hb, Wb, c4 = xp.shape
     cin = c4 // 4
     cout = kernel.shape[-1]
-    xp = xp.astype(dtype)
     pad2 = [(1, 1), (1, 1)] if to_shifted else [(0, 0), (0, 0)]
+    k2s = [_s1_packed_kernel(kernel[dz],
+                             jnp.float32 if quantized else dtype)
+           for dz in range(3)]
+    if quantized:
+        xp, sx = _quant_act(xp)
+        k2s, sk = _quant_kernels(k2s)
+    else:
+        xp = xp.astype(dtype)
     xpd = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     out = None
     for dz in range(3):
-        k2 = _s1_packed_kernel(kernel[dz], dtype)
         sl = xpd[:, dz:dz + D].reshape(N * D, Hb, Wb, c4)
-        dn = jax.lax.conv_dimension_numbers(sl.shape, k2.shape,
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k2s[dz].shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(sl, k2, (1, 1), pad2,
-                                         dimension_numbers=dn)
+        y = jax.lax.conv_general_dilated(
+            sl, k2s[dz], (1, 1), pad2, dimension_numbers=dn,
+            preferred_element_type=jnp.int32 if quantized else None)
         out = y if out is None else out + y
+    if quantized:
+        out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
     Ho = Hb + 1 if to_shifted else Hb - 1
     Wo = Wb + 1 if to_shifted else Wb - 1
     return out.reshape(N, D, Ho, Wo, 4 * cout)
@@ -267,7 +316,8 @@ def _s1_w_packed_kernel(k2d: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def conv3d_s1_w_packed(xw: jnp.ndarray, kernel: jnp.ndarray, dtype,
-                       to_shifted: bool) -> jnp.ndarray:
+                       to_shifted: bool,
+                       quantized: bool = False) -> jnp.ndarray:
     """k=3, stride-1, pad-1 conv3d in W-only space-to-depth layout
     [N, D, H, Wb, 2C] (channel order (qw, c)).
 
@@ -280,18 +330,27 @@ def conv3d_s1_w_packed(xw: jnp.ndarray, kernel: jnp.ndarray, dtype,
     zero (`zero_w_halo`). H keeps ordinary pad-1 taps."""
     N, D, Hh, Wb, c2 = xw.shape
     cin = c2 // 2
-    xw = xw.astype(dtype)
     padw = (1, 1) if to_shifted else (0, 0)
+    k2s = [_s1_w_packed_kernel(kernel[dz],
+                               jnp.float32 if quantized else dtype)
+           for dz in range(3)]
+    if quantized:
+        xw, sx = _quant_act(xw)
+        k2s, sk = _quant_kernels(k2s)
+    else:
+        xw = xw.astype(dtype)
     xpd = jnp.pad(xw, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     out = None
     for dz in range(3):
-        k2 = _s1_w_packed_kernel(kernel[dz], dtype)
         sl = xpd[:, dz:dz + D].reshape(N * D, Hh, Wb, c2)
-        dn = jax.lax.conv_dimension_numbers(sl.shape, k2.shape,
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k2s[dz].shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(sl, k2, (1, 1), [(1, 1), padw],
-                                         dimension_numbers=dn)
+        y = jax.lax.conv_general_dilated(
+            sl, k2s[dz], (1, 1), [(1, 1), padw], dimension_numbers=dn,
+            preferred_element_type=jnp.int32 if quantized else None)
         out = y if out is None else out + y
+    if quantized:
+        out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
     Wo = Wb + 1 if to_shifted else Wb - 1
     return out.reshape(N, D, Hh, Wo, 2 * kernel.shape[-1])
 
@@ -318,7 +377,8 @@ def zero_w_halo(y: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
-                             to_shifted: bool) -> jnp.ndarray:
+                             to_shifted: bool,
+                             quantized: bool = False) -> jnp.ndarray:
     """k=3, stride-1, pad-1 conv3d reading FULL-res input and writing packed
     H,W space-to-depth output — the entry point into the packed world.
 
@@ -332,7 +392,6 @@ def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
     out-of-image halo — callers zero it (`zero_shift_halo`)."""
     N, D, H, W, cin = x.shape
     cout = kernel.shape[-1]
-    x = x.astype(dtype)
     S = np.zeros((4, 4, 3, 3, 4), np.float32)   # [t_h, t_w, dy, dx, p]
     for ph in range(2):
         for pw in range(2):
@@ -342,18 +401,28 @@ def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
                     S[ph + dy, pw + dx, dy, dx, p] = 1.0
     Sj = jnp.asarray(S)
     pad2 = [(2, 2), (2, 2)] if to_shifted else [(1, 2), (1, 2)]
+    k4s = [jnp.einsum("twyxp,yxio->twipo", Sj,
+                      kernel[dz].astype(jnp.float32)).reshape(
+               4, 4, cin, 4 * cout).astype(
+               jnp.float32 if quantized else dtype)
+           for dz in range(3)]
+    if quantized:
+        x, sx = _quant_act(x)
+        k4s, sk = _quant_kernels(k4s)
+    else:
+        x = x.astype(dtype)
     xpd = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     out = None
     for dz in range(3):
-        k4 = jnp.einsum("twyxp,yxio->twipo", Sj,
-                        kernel[dz].astype(jnp.float32)).reshape(
-            4, 4, cin, 4 * cout).astype(dtype)
         sl = xpd[:, dz:dz + D].reshape(N * D, H, W, cin)
-        dn = jax.lax.conv_dimension_numbers(sl.shape, k4.shape,
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k4s[dz].shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(sl, k4, (2, 2), pad2,
-                                         dimension_numbers=dn)
+        y = jax.lax.conv_general_dilated(
+            sl, k4s[dz], (2, 2), pad2, dimension_numbers=dn,
+            preferred_element_type=jnp.int32 if quantized else None)
         out = y if out is None else out + y
+    if quantized:
+        out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
     Hb = H // 2 + 1 if to_shifted else H // 2
     Wb = W // 2 + 1 if to_shifted else W // 2
     return out.reshape(N, D, Hb, Wb, 4 * cout)
@@ -511,6 +580,9 @@ class ConvBN3D(nn.Module):
     stride: int = 1
     kernel: int = 3
     dtype: Any = jnp.float32
+    quant: bool = False   # int8 eval of the packed lowerings (2.6x MXU rate
+                          # on stem shapes, scripts/perf_int8_conv.py);
+                          # train mode is never quantized
 
     @nn.compact
     def __call__(self, x, train: bool, lin: str = "full", lout: str = "full"):
@@ -543,33 +615,40 @@ class ConvBN3D(nn.Module):
             x = pmesh.constrain_volume(x)
             return bn(x.astype(jnp.float32)).astype(self.dtype)
         a, b = _bn_affine(bn, self.features)
-        kf = (kernel.astype(jnp.float32) * a).astype(self.dtype)
+        kf = kernel.astype(jnp.float32) * a
+        if not self.quant:       # quantized lowerings re-scale from f32
+            kf = kf.astype(self.dtype)
         if (not train) and k == 3 and self.stride == 1 and \
                 (lin == "wshift" or lout == "wshift"):
             # W-only packed layout: free fold/unfold reshapes at the module
             # boundary, 2x MXU N-util inside (block inner convs, cout 64)
             if lout == "wshift":                  # full -> wshift
-                y = conv3d_s1_w_packed(w_fold(x), kf, self.dtype, True)
+                y = conv3d_s1_w_packed(w_fold(x), kf, self.dtype, True,
+                                       quantized=self.quant)
                 y = y + jnp.tile(b, 2).astype(self.dtype)
                 y = zero_w_halo(y)                # caller relus; relu(0)==0
             else:                                 # wshift -> full
-                y = conv3d_s1_w_packed(x, kf, self.dtype, False)
+                y = conv3d_s1_w_packed(x, kf, self.dtype, False,
+                                       quantized=self.quant)
                 y = w_unfold(y + jnp.tile(b, 2).astype(self.dtype))
             return pmesh.constrain_volume(y)
         packed_out = (not train) and lin == "full" and lout in ("std", "shift")
         if (packed_in or packed_out) and self.stride == 1 and k == 3:
             if packed_out:
                 y = conv3d_s1_full_to_packed(x, kf, self.dtype,
-                                             to_shifted=(lout == "shift"))
+                                             to_shifted=(lout == "shift"),
+                                             quantized=self.quant)
             else:
                 assert lin != lout, "packed s1 conv alternates std<->shift"
                 y = conv3d_s1_hw_packed(x, kf, self.dtype,
-                                        to_shifted=(lout == "shift"))
+                                        to_shifted=(lout == "shift"),
+                                        quantized=self.quant)
             y = y + jnp.tile(b, 4).astype(self.dtype)
             if lout == "shift":
                 y = zero_shift_halo(y)   # callers relu after; relu(0) == 0
         elif packed_in and self.stride == 2 and k == 3:
-            y = conv3d_s2_hw_s2d(x, kf, self.dtype, packed_input=True)
+            y = conv3d_s2_hw_s2d(x, kf, self.dtype, packed_input=True,
+                                 quantized=self.quant)
             y = y + b.astype(self.dtype)
         else:
             y = conv3d_ndhwc(x, kf, self.stride, k // 2, self.dtype)
@@ -965,11 +1044,12 @@ class Conv3DBlock(nn.Module):
     stride: int = 1
     kernel: int = 3
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, lin_first: str = "full"):
         x = nn.relu(ConvBN3D(self.features, self.stride, self.kernel,
-                             self.dtype, name="convbn_3d_1")(
+                             self.dtype, self.quant, name="convbn_3d_1")(
                                  x, train, lin_first, "full"))
         # the two stride-1 convs run in W-only packed layout (free
         # fold/unfold, 2x MXU N-util at cout 64); W must be even and >= 4.
@@ -978,10 +1058,10 @@ class Conv3DBlock(nn.Module):
                  and x.shape[3] % 2 == 0 and x.shape[3] >= 4)
         l2out, l3in = ("wshift", "wshift") if wpack else ("full", "full")
         x = nn.relu(ConvBN3D(self.features, 1, self.kernel,
-                             self.dtype, name="convbn_3d_2")(
+                             self.dtype, self.quant, name="convbn_3d_2")(
                                  x, train, "full", l2out))
         x = nn.relu(ConvBN3D(self.features, 1, self.kernel,
-                             self.dtype, name="convbn_3d_3")(
+                             self.dtype, self.quant, name="convbn_3d_3")(
                                  x, train, l3in, "full"))
         return x
 

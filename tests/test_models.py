@@ -544,3 +544,54 @@ def test_head_pzslab_matches_packed3d():
     got = head.apply(v, (x[..., :4 * cin], x[..., 4 * cin:]), "pzslab")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("fn_case", ["full_to_packed", "hw_packed",
+                                     "s2_hw_s2d", "w_packed"])
+def test_quantized_lowerings_close_to_float(fn_case):
+    """int8 dynamic quantization of the packed conv lowerings (per-tensor
+    activation + per-output-channel joint-tap weight scales) must track the
+    float conv to ~1% relative error on well-scaled inputs."""
+    from msnets_tpu.models.layers import (conv3d_s1_full_to_packed,
+                                          conv3d_s1_hw_packed,
+                                          conv3d_s2_hw_s2d,
+                                          conv3d_s1_w_packed)
+    rng = np.random.default_rng(7)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 16)) * 0.1, jnp.float32)
+    if fn_case == "full_to_packed":
+        x = jnp.asarray(rng.standard_normal((1, 6, 8, 8, 8)), jnp.float32)
+        f = lambda q: conv3d_s1_full_to_packed(x, k, jnp.float32, True,
+                                               quantized=q)
+    elif fn_case == "hw_packed":
+        x = jnp.asarray(rng.standard_normal((1, 6, 5, 5, 32)), jnp.float32)
+        f = lambda q: conv3d_s1_hw_packed(x, k, jnp.float32, False,
+                                          quantized=q)
+    elif fn_case == "s2_hw_s2d":
+        x = jnp.asarray(rng.standard_normal((1, 6, 8, 8, 8)), jnp.float32)
+        f = lambda q: conv3d_s2_hw_s2d(x, k, jnp.float32, quantized=q)
+    else:
+        x = jnp.asarray(rng.standard_normal((1, 6, 8, 4, 16)), jnp.float32)
+        f = lambda q: conv3d_s1_w_packed(x, k, jnp.float32, True,
+                                         quantized=q)
+    yf, yq = np.asarray(f(False)), np.asarray(f(True))
+    rel = np.max(np.abs(yf - yq)) / np.max(np.abs(yf))
+    assert rel < 0.03, rel
+
+
+def test_gcnet_quant_eval_close_to_float():
+    """quant_eval=True shares the float model's param tree and its disparity
+    stays within a fraction of a pixel of the bf16 path at tiny shapes (the
+    accuracy gate for the real model is scripts/perf_quant_eval.py on TPU)."""
+    rng = np.random.default_rng(3)
+    cv = jnp.asarray(rng.random((1, 16, 16, 32, 8)), jnp.float32)
+    mf = MSGCNet(max_disp=32, dtype=jnp.float32)
+    mq = MSGCNet(max_disp=32, dtype=jnp.float32, quant_eval=True)
+    v = mf.init(jax.random.PRNGKey(0), cv, False)
+    df = np.asarray(mf.apply(v, cv, False))
+    dq = np.asarray(mq.apply(v, cv, False))
+    assert df.shape == dq.shape
+    assert np.mean(np.abs(df - dq)) < 0.25, np.mean(np.abs(df - dq))
+    # train mode is never quantized: identical graphs
+    ot, st = mq.apply(v, cv, True, mutable=["batch_stats"])
+    of, sf = mf.apply(v, cv, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ot), np.asarray(of), rtol=1e-6)
