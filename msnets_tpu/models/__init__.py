@@ -22,5 +22,6 @@ def build_model(model_cfg, remat: bool = False):
         return MSPSMNet(max_disp=model_cfg.max_disp,
                         in_channels=model_cfg.in_channels,
                         upscale=4 if model_cfg.quarter_input else 2,
+                        quant_eval=getattr(model_cfg, "quant_eval", False),
                         dtype=dtype, remat=remat)
     raise ValueError(f"No suitable model found: {model_cfg.name}")

@@ -84,7 +84,10 @@ class MSGCNet(nn.Module):
             # conv1 enters the packed world directly from the full-res volume
             # (stride-2 expanded kernel — an explicit hw_pack transpose of
             # the 8-channel input costs 4.9 ms on v5e)
-            x1 = nn.relu(convbn(F, 1, dtype=dt, quant=q, name="conv3dbn_1")(
+            # conv1 stays bf16: its 4x4 cin=8 expanded kernel LOSES in int8
+            # (0.84x, scripts/perf_int8_packed.py — the tiny contraction is
+            # not MXU-rate-bound); conv2's [2,2,128,128] taps win 1.85x.
+            x1 = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(
                 x, train, "full", "shift"))
             x2 = nn.relu(convbn(F, 1, dtype=dt, quant=q, name="conv3dbn_2")(
                 x1, train, "shift", "std"))

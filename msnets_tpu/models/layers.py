@@ -74,7 +74,8 @@ def _quant_kernels(ks):
 
 
 def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
-                 pad: int, dtype, decompose: bool = True) -> jnp.ndarray:
+                 pad: int, dtype, decompose: bool = True,
+                 quantized: bool = False) -> jnp.ndarray:
     """3-D convolution, NDHWC x DHWIO.
 
     ``decompose=True`` (default) lowers *stride-1* convs to kd batched 2-D
@@ -93,7 +94,7 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
             and x.shape[3] % 2 == 0
             and x.shape[1] * x.shape[2] * x.shape[3] >= _S2_HW_S2D_MIN_VOXELS):
-        return conv3d_s2_hw_s2d(x, kernel, dtype)
+        return conv3d_s2_hw_s2d(x, kernel, dtype, quantized=quantized)
     if stride != 1:
         decompose = False
     if not decompose:
@@ -651,7 +652,8 @@ class ConvBN3D(nn.Module):
                                  quantized=self.quant)
             y = y + b.astype(self.dtype)
         else:
-            y = conv3d_ndhwc(x, kf, self.stride, k // 2, self.dtype)
+            y = conv3d_ndhwc(x, kf, self.stride, k // 2, self.dtype,
+                             quantized=self.quant and self.stride == 2)
             y = y + b.astype(self.dtype)
         return pmesh.constrain_volume(y)
 
@@ -1048,6 +1050,9 @@ class Conv3DBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool, lin_first: str = "full"):
+        # quant applies to the ENTRY conv only: its s2d lowering wins 1.52x
+        # in int8 ([2,2,128,64] taps); the wshift inner convs LOSE (0.69x,
+        # scripts/perf_int8_packed.py) so they stay bf16 unconditionally.
         x = nn.relu(ConvBN3D(self.features, self.stride, self.kernel,
                              self.dtype, self.quant, name="convbn_3d_1")(
                                  x, train, lin_first, "full"))
@@ -1058,10 +1063,10 @@ class Conv3DBlock(nn.Module):
                  and x.shape[3] % 2 == 0 and x.shape[3] >= 4)
         l2out, l3in = ("wshift", "wshift") if wpack else ("full", "full")
         x = nn.relu(ConvBN3D(self.features, 1, self.kernel,
-                             self.dtype, self.quant, name="convbn_3d_2")(
+                             self.dtype, name="convbn_3d_2")(
                                  x, train, "full", l2out))
         x = nn.relu(ConvBN3D(self.features, 1, self.kernel,
-                             self.dtype, self.quant, name="convbn_3d_3")(
+                             self.dtype, name="convbn_3d_3")(
                                  x, train, l3in, "full"))
         return x
 

@@ -595,3 +595,20 @@ def test_gcnet_quant_eval_close_to_float():
     ot, st = mq.apply(v, cv, True, mutable=["batch_stats"])
     of, sf = mf.apply(v, cv, True, mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(ot), np.asarray(of), rtol=1e-6)
+
+
+def test_psmnet_quant_eval_close_to_float():
+    """MS-PSMNet quant_eval shares the float param tree; eval disparity
+    stays within a fraction of a pixel, train mode is never quantized."""
+    rng = np.random.default_rng(5)
+    cv = jnp.asarray(rng.random((1, 16, 16, 32, 8)), jnp.float32)
+    mf = MSPSMNet(max_disp=32, dtype=jnp.float32)
+    mq = MSPSMNet(max_disp=32, dtype=jnp.float32, quant_eval=True)
+    v = mf.init(jax.random.PRNGKey(0), cv, False)
+    df = np.asarray(mf.apply(v, cv, False))
+    dq = np.asarray(mq.apply(v, cv, False))
+    assert np.mean(np.abs(df - dq)) < 0.25, np.mean(np.abs(df - dq))
+    ot, _ = mq.apply(v, cv, True, mutable=["batch_stats"])
+    of, _ = mf.apply(v, cv, True, mutable=["batch_stats"])
+    for a, b in zip(ot, of):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
