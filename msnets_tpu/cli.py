@@ -77,8 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference crop/batch; see TrainConfig.remat)")
     p.add_argument("--no_remat", dest="remat", action="store_false")
     p.add_argument("--quant_eval", type=int, default=0,
-                   help="int8 eval of the stem/encoder convs (2x MXU rate; "
-                        "~0.1 px disparity delta, scripts/perf_quant_eval.py)")
+                   help="int8 eval of the compute-bound convs (2x MXU rate; "
+                        "~0.1 px disparity delta, scripts/perf_quant_eval.py)."
+                        " Coverage is shape-gated: packed stride-1 lowerings"
+                        " and stride-2 convs above conv3d_ndhwc's >=1M-voxel"
+                        " even-dims gate; small/memory-bound convs stay bf16")
     # None -> model-dependent default in args_to_config (MS-PSMNet needs
     # remat at the reference recipe: 24.3G > 15.75G HBM without it)
     p.set_defaults(remat=None)

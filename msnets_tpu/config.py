@@ -72,9 +72,13 @@ class ModelConfig:
     # wins the train step (its k=2 conv VJP beats the dilated conv's).
     mid_deconv_mode: str = "dense"
     mid_deconv_mode_train: str = "conv_shuffle"
-    # int8 eval of the stem/encoder convs: dynamic per-tensor activation +
+    # int8 eval of the compute-bound convs: dynamic per-SAMPLE activation +
     # per-channel weight symmetric quantization onto the MXU's 2x s8 rate
     # (scripts/perf_int8_conv.py / perf_quant_eval.py). Train is unaffected.
+    # Coverage is shape-gated (see ConvBN3D.quant): packed stride-1
+    # lowerings plus stride-2 convs above the >=1M-voxel s2d gate; smaller
+    # memory-bound convs (gcnet blocks 2-4, hourglass inner convs at bench
+    # shapes) deliberately stay bf16.
     quant_eval: bool = False
 
 

@@ -44,14 +44,21 @@ _S2_HW_S2D_MIN_VOXELS = 1_000_000
 
 
 def _quant_act(x):
-    """Symmetric per-tensor int8 quantization of an activation tensor.
+    """Symmetric PER-SAMPLE int8 quantization of an activation tensor.
 
-    Returns (int8 tensor, f32 scale). v5e's MXU runs s8 x s8 -> s32 at 2x
-    the bf16 rate (measured 2.6x on the stem conv shapes,
-    scripts/perf_int8_conv.py); the one extra max-abs pass over the
-    activation is bandwidth-cheap next to the conv it feeds."""
+    Returns (int8 tensor, f32 scale broadcastable against x). v5e's MXU
+    runs s8 x s8 -> s32 at 2x the bf16 rate (measured 2.6x on the stem
+    conv shapes, scripts/perf_int8_conv.py); the one extra max-abs pass
+    over the activation is bandwidth-cheap next to the conv it feeds.
+    The scale reduces over every axis EXCEPT the leading batch axis, so
+    eval outputs for one image never depend on another image in the same
+    batch (an outlier sample would otherwise degrade the whole batch's
+    quantization resolution). All depth taps of one sample share its
+    scale, so cross-tap int32 partial sums still accumulate exactly."""
     xf = x.astype(jnp.float32)
-    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    axes = tuple(range(1, xf.ndim))
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=axes, keepdims=True),
+                     1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     return xq, sx
 
@@ -289,11 +296,12 @@ def conv3d_s1_hw_packed(xp: jnp.ndarray, kernel: jnp.ndarray, dtype,
             sl, k2s[dz], (1, 1), pad2, dimension_numbers=dn,
             preferred_element_type=jnp.int32 if quantized else None)
         out = y if out is None else out + y
-    if quantized:
-        out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
     Ho = Hb + 1 if to_shifted else Hb - 1
     Wo = Wb + 1 if to_shifted else Wb - 1
-    return out.reshape(N, D, Ho, Wo, 4 * cout)
+    out = out.reshape(N, D, Ho, Wo, 4 * cout)
+    if quantized:
+        out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
+    return out
 
 
 def _s1_w_packed_kernel(k2d: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -350,10 +358,11 @@ def conv3d_s1_w_packed(xw: jnp.ndarray, kernel: jnp.ndarray, dtype,
             sl, k2s[dz], (1, 1), [(1, 1), padw], dimension_numbers=dn,
             preferred_element_type=jnp.int32 if quantized else None)
         out = y if out is None else out + y
+    Wo = Wb + 1 if to_shifted else Wb - 1
+    out = out.reshape(N, D, Hh, Wo, 2 * kernel.shape[-1])
     if quantized:
         out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
-    Wo = Wb + 1 if to_shifted else Wb - 1
-    return out.reshape(N, D, Hh, Wo, 2 * kernel.shape[-1])
+    return out
 
 
 def w_fold(x: jnp.ndarray) -> jnp.ndarray:
@@ -422,11 +431,12 @@ def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
             sl, k4s[dz], (2, 2), pad2, dimension_numbers=dn,
             preferred_element_type=jnp.int32 if quantized else None)
         out = y if out is None else out + y
-    if quantized:
-        out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
     Hb = H // 2 + 1 if to_shifted else H // 2
     Wb = W // 2 + 1 if to_shifted else W // 2
-    return out.reshape(N, D, Hb, Wb, 4 * cout)
+    out = out.reshape(N, D, Hb, Wb, 4 * cout)
+    if quantized:
+        out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
+    return out
 
 
 def zero_shift_halo(y: jnp.ndarray) -> jnp.ndarray:
@@ -583,7 +593,15 @@ class ConvBN3D(nn.Module):
     dtype: Any = jnp.float32
     quant: bool = False   # int8 eval of the packed lowerings (2.6x MXU rate
                           # on stem shapes, scripts/perf_int8_conv.py);
-                          # train mode is never quantized
+                          # train mode is never quantized. COVERAGE IS
+                          # SHAPE-GATED: only the packed stride-1 lowerings
+                          # and stride-2 convs that pass conv3d_ndhwc's
+                          # >=1M-voxel / even-dims s2d gate actually run
+                          # int8 — full-layout stride-1 convs and small
+                          # stride-2 volumes (e.g. gcnet blocks 2-4,
+                          # hourglass inner convs at bench shapes) stay
+                          # bf16 because int8 doesn't pay there
+                          # (memory-bound, scripts/perf_int8_conv.py).
 
     @nn.compact
     def __call__(self, x, train: bool, lin: str = "full", lout: str = "full"):

@@ -185,7 +185,12 @@ class MSPSMNet(nn.Module):
                 h, train, "full", "full"))
             h = nn.relu(cbn(32, 1, dtype=dt, quant=q, name="dres1_1")(
                 cost0, train, "full", "full"))
-            h = cbn(32, 1, dtype=dt, name="dres1_2")(h, train, "full", "full")
+            # quant=q here too so both branches request the same coverage
+            # (in the full layout, stride-1 convs are quant no-ops — see
+            # the ConvBN3D.quant gate note — so this only matters if the
+            # gate ever widens).
+            h = cbn(32, 1, dtype=dt, quant=q, name="dres1_2")(
+                h, train, "full", "full")
             cost0 = h + cost0
             hg1_in, hg1_lin = cost0, "full"
         hg = lambda name: Hourglass(32, dtype=dt, quant=q,

@@ -38,7 +38,10 @@ def main():
     ]
     rng = np.random.default_rng(0)
     for label, xs, ks, strides, pad in cases:
-        xq = jnp.asarray(rng.integers(-127, 128, xs), jnp.int8)
+        # [-126, 126] so the +1 loop perturbation can't wrap at int8
+        # extremes (127+1 -> -128), keeping the int8 arm's data
+        # distribution identical to the bf16 arm's
+        xq = jnp.asarray(rng.integers(-126, 127, xs), jnp.int8)
         kq = jnp.asarray(rng.integers(-127, 128, ks), jnp.int8)
         xb, kb = xq.astype(jnp.bfloat16), kq.astype(jnp.bfloat16)
 

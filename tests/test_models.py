@@ -549,7 +549,7 @@ def test_head_pzslab_matches_packed3d():
 @pytest.mark.parametrize("fn_case", ["full_to_packed", "hw_packed",
                                      "s2_hw_s2d", "w_packed"])
 def test_quantized_lowerings_close_to_float(fn_case):
-    """int8 dynamic quantization of the packed conv lowerings (per-tensor
+    """int8 dynamic quantization of the packed conv lowerings (per-SAMPLE
     activation + per-output-channel joint-tap weight scales) must track the
     float conv to ~1% relative error on well-scaled inputs."""
     from msnets_tpu.models.layers import (conv3d_s1_full_to_packed,
@@ -576,6 +576,23 @@ def test_quantized_lowerings_close_to_float(fn_case):
     yf, yq = np.asarray(f(False)), np.asarray(f(True))
     rel = np.max(np.abs(yf - yq)) / np.max(np.abs(yf))
     assert rel < 0.03, rel
+
+
+def test_quant_act_scale_is_per_sample():
+    """Quantized eval output for one image must not depend on what else is
+    in the batch: an outlier sample may not degrade another sample's
+    activation-scale resolution (ADVICE r1). Batch [x, 1000*x] must
+    reproduce x's solo quantized output bitwise."""
+    from msnets_tpu.models.layers import conv3d_s1_hw_packed
+    rng = np.random.default_rng(11)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 16)) * 0.1, jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((1, 6, 5, 5, 32)), jnp.float32)
+    xb = jnp.concatenate([x0, 1000.0 * x0], axis=0)
+    solo = np.asarray(conv3d_s1_hw_packed(x0, k, jnp.float32, False,
+                                          quantized=True))
+    both = np.asarray(conv3d_s1_hw_packed(xb, k, jnp.float32, False,
+                                          quantized=True))
+    np.testing.assert_array_equal(both[:1], solo)
 
 
 def test_gcnet_quant_eval_close_to_float():
