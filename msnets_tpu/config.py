@@ -80,6 +80,11 @@ class ModelConfig:
     # memory-bound convs (gcnet blocks 2-4, hourglass inner convs at bench
     # shapes) deliberately stay bf16.
     quant_eval: bool = False
+    # MS-PSMNet only: keep the full-res outer graph (hourglass outputs,
+    # skip adds, classifiers) in packed-std layout in eval too (train
+    # always does) — full-layout c32 volumes pay 4x lane-padded HBM
+    # traffic per touch on v5e. A/B: scripts/perf_psmnet.py.
+    packed_eval_outer: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,5 +23,7 @@ def build_model(model_cfg, remat: bool = False):
                         in_channels=model_cfg.in_channels,
                         upscale=4 if model_cfg.quarter_input else 2,
                         quant_eval=getattr(model_cfg, "quant_eval", False),
+                        packed_eval_outer=getattr(model_cfg,
+                                                  "packed_eval_outer", True),
                         dtype=dtype, remat=remat)
     raise ValueError(f"No suitable model found: {model_cfg.name}")

@@ -77,12 +77,13 @@ class Hourglass(nn.Module):
 
         if lout == "std":
             # emit the output volume in packed-std layout: conv6's deconv
-            # output stays phase-packed (packed3d, PackedPhaseBN) and only
-            # the depth parity is unfolded — a near-bandwidth major move.
-            # Keeps the full-res outer graph (skip adds, classifiers) in
-            # 128-channel packed tensors: full-layout 32-channel volumes
-            # pay a 4x MXU lane-padding blowup in HBM on v5e.
-            assert train
+            # output stays phase-packed (packed3d; PackedPhaseBN in train,
+            # folded-BN packed deconv in eval) and only the depth parity is
+            # unfolded — a near-bandwidth major move. Keeps the full-res
+            # outer graph (skip adds, classifiers) in 128-channel packed
+            # tensors: full-layout 32-channel volumes pay a 4x MXU
+            # lane-padding blowup in HBM on v5e (train OOM driver; in eval
+            # it is 4x wasted volume bandwidth per touch).
             yp = dbn(c, dtype=dt, train_mode=self.deconv_mode_train,
                      name="conv6")(post, train, "packed3d")
             return d_unsplit_pack(yp), pre, post
@@ -129,6 +130,12 @@ class MSPSMNet(nn.Module):
                                    # (1.85x shape) + hourglass entry convs;
                                    # dres0_1's cin=8 entry LOSES (0.84x) and
                                    # stays bf16. scripts/perf_int8_packed.py
+    packed_eval_outer: bool = True  # keep the full-res outer graph (hourglass
+                                    # outputs, skip adds, classifiers) in
+                                    # packed-std layout in EVAL too — same
+                                    # graph train uses; full-layout c32
+                                    # volumes pay 4x lane-padded HBM traffic
+                                    # per touch (A/B: scripts/perf_psmnet.py)
 
     @nn.compact
     def __call__(self, cv, train: bool = False):
@@ -168,12 +175,12 @@ class MSPSMNet(nn.Module):
             h = cbn(32, 1, dtype=dt, quant=q, name="dres1_2")(
                 h, train, "shift", "std")
             cost0p = h + cost0p
-            if train:
-                # train keeps the ENTIRE outer graph packed-std: hourglass
+            if train or self.packed_eval_outer:
+                # the ENTIRE outer graph stays packed-std: hourglass
                 # outputs, skip adds and classifiers never materialize a
-                # full-layout 32-channel volume (4x lane padding, the OOM
-                # driver at the reference recipe). Eval unpacks once - its
-                # integrated graph was tuned full-layout (PERF.md).
+                # full-layout 32-channel volume (4x lane padding — the
+                # train OOM driver at the reference recipe, and 4x wasted
+                # HBM bandwidth per touch in eval).
                 cost0, hg1_in, hg1_lin = None, cost0p, "std"
             else:
                 cost0 = hw_unpack(cost0p)
@@ -195,7 +202,7 @@ class MSPSMNet(nn.Module):
             hg1_in, hg1_lin = cost0, "full"
         hg = lambda name: Hourglass(32, dtype=dt, quant=q,
                                     remat_stages=self.remat, name=name)
-        packed_outer = use_packed and train
+        packed_outer = use_packed and (train or self.packed_eval_outer)
         lio = "std" if packed_outer else "full"
         skip = cost0p if packed_outer else cost0
         out1, pre1, post1 = hg("dres2")(hg1_in, None, None, train,

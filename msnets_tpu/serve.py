@@ -1,0 +1,276 @@
+"""Production serving: shape-bucketed, AOT-compiled stereo inference.
+
+The reference has no serving story — its test loop (main_msnet.py:533-648)
+re-pads every frame to a multiple of 32 and would recompile a CUDA graph per
+unique shape. On TPU, compilation is the dominant first-request cost
+(~20-40 s per shape through XLA), so a server must make shapes a *closed
+set*: frames are padded up to one of a few SHAPE BUCKETS, each compiled once
+(optionally ahead of time), and the result is cropped back.
+
+Two bucketing modes:
+
+* **exact** (default, `buckets=None`): every frame is padded to its minimal
+  multiple-of-encoder_ds shape — bit-identical to the reference test path
+  (cbmv_generator.py:780-788) — and that shape is cached as a compiled
+  bucket. Production streams have fixed camera resolutions, so the shape
+  set stays closed after the first frame per stream.
+* **explicit buckets**: mixed-resolution streams can amortize compiles by
+  padding up to a configured bucket. This is NOT numerically identical to
+  minimal padding: the padded band's *features* are non-zero (the AML of a
+  zero image region is a uniform likelihood, census/NCC normalizations are
+  non-zero), so outputs within the regularizer's receptive field of the
+  top/right boundary shift slightly — same class of boundary effect the
+  reference's own pad-to-32 already has, just a thicker band. Use exact
+  mode when parity matters more than compile count.
+
+Throughput comes from pipelining: JAX dispatch is async, so the server keeps
+up to `depth` frames in flight — the host pads/feeds frame k+1 while the
+device runs frame k, and a fetcher thread blocks on device->host reads. On
+the axon relay (~35 ms/dispatch) this hides most of the relay latency; on a
+local chip it hides host prep entirely.
+
+Usage:
+    server = StereoServer(cfg, variables)      # or .from_checkpoint(...)
+    server.warmup()                            # compile all buckets
+    disp = server.predict(iml, imr)            # one frame, blocking
+    for d in server.predict_stream(pairs):     # pipelined stream
+        ...
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .config import Config
+
+# Production shapes (PERF.md): bench 256x512, KITTI cross-val 384x1248,
+# Middlebury/ETH3D 576x960. All multiples of encoder_ds=32. Opt-in — the
+# default serving mode is exact per-shape padding (see module docstring).
+DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
+    (256, 512), (384, 1248), (576, 960))
+
+
+def exact_bucket(h: int, w: int, encoder_ds: int = 32) -> Tuple[int, int]:
+    """Minimal pad-to-multiple-of-encoder_ds shape (reference parity)."""
+    ch = h + (encoder_ds - h % encoder_ds) % encoder_ds
+    cw = w + (encoder_ds - w % encoder_ds) % encoder_ds
+    return (ch, cw)
+
+
+def pick_bucket(h: int, w: int,
+                buckets: Optional[Sequence[Tuple[int, int]]],
+                encoder_ds: int = 32) -> Tuple[int, int]:
+    """Smallest-area configured bucket covering (h, w); exact
+    pad-to-multiple shape when buckets is None/empty or none covers (that
+    shape then becomes a new compiled bucket)."""
+    fits = [b for b in (buckets or ()) if b[0] >= h and b[1] >= w]
+    if fits:
+        return min(fits, key=lambda b: b[0] * b[1])
+    return exact_bucket(h, w, encoder_ds)
+
+
+def pad_to_bucket(iml: np.ndarray, imr: np.ndarray,
+                  bucket: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-pad a uint8 pair on TOP and RIGHT to the bucket shape
+    (generate_test_cbmv convention, cbmv_generator.py:780-788)."""
+    h, w = iml.shape
+    ph, pw = bucket[0] - h, bucket[1] - w
+    assert ph >= 0 and pw >= 0, (iml.shape, bucket)
+    pad = ((ph, 0), (0, pw))
+    return np.pad(iml, pad), np.pad(imr, pad)
+
+
+class StereoServer:
+    """Shape-bucketed stereo-disparity inference server (one process,
+    one device or one sharded mesh).
+
+    Thread-safe for concurrent `predict` callers; `predict_stream` is the
+    pipelined bulk path.
+    """
+
+    def __init__(self, cfg: Config, variables: Dict,
+                 buckets: Optional[Sequence[Tuple[int, int]]] = None,
+                 mesh=None, depth: int = 2):
+        import jax
+
+        self.cfg = cfg
+        self.buckets = tuple(tuple(b) for b in buckets) if buckets else None
+        self.mesh = mesh
+        self.depth = max(1, depth)
+        self._lock = threading.Lock()
+        self._fns: Dict[Tuple[int, int], object] = {}
+        self._stats = {"frames": 0, "compiles": 0, "bucket_hits": {}}
+
+        from .models import build_model
+        self.model = build_model(cfg.model)
+        self.variables = {"params": variables["params"],
+                          "batch_stats": variables.get("batch_stats", {})}
+        self._jax = jax
+
+    @classmethod
+    def from_checkpoint(cls, cfg: Config, path: str, **kw) -> "StereoServer":
+        """Build from a framework msgpack checkpoint or a reference torch
+        .tar (same dual-format path the CLI test mode uses)."""
+        from .engine import Trainer
+        tr = Trainer(cfg, mesh=None)
+        state = tr.init_state(tr.feats_shape_for(1), seed=0)
+        state = tr.resume(state, path)
+        return cls(cfg, {"params": state.params,
+                         "batch_stats": state.batch_stats}, **kw)
+
+    # -- compilation ------------------------------------------------------
+
+    def _build(self, bucket: Tuple[int, int]):
+        """jit (and compile) the full device path for one bucket shape."""
+        import jax
+        import jax.numpy as jnp
+        from .ops.features import ms_features_test
+        from .parallel import mesh as pm
+
+        mcfg = self.cfg.matching
+        max_disp = self.cfg.model.max_disp
+        model, mesh = self.model, self.mesh
+        fdt = jnp.bfloat16 if self.cfg.model.compute_dtype == "bfloat16" \
+            else jnp.float32
+
+        def fwd(variables, a, b):
+            f = ms_features_test(a, b, max_disp, mcfg, mcfg.left_only, fdt)
+            f = f[None]
+            if mesh is not None:
+                f = jax.lax.with_sharding_constraint(
+                    f, pm.shard(mesh, pm.VOLUME))
+            with pm.active_mesh(mesh):
+                return model.apply(variables, f, train=False)
+
+        fn = jax.jit(fwd)
+        # AOT-compile now so the first request doesn't pay it
+        dummy = jnp.zeros(bucket, jnp.uint8)
+        fn = fn.lower(self.variables, dummy, dummy).compile()
+        self._stats["compiles"] += 1
+        return fn
+
+    def _fn_for(self, bucket: Tuple[int, int]):
+        with self._lock:
+            fn = self._fns.get(bucket)
+        if fn is None:
+            fn = self._build(bucket)
+            with self._lock:
+                self._fns.setdefault(bucket, fn)
+                fn = self._fns[bucket]
+        return fn
+
+    def warmup(self, shapes: Sequence[Tuple[int, int]] = ()) -> None:
+        """Compile every configured bucket up front; in exact mode pass the
+        expected frame shapes instead (each compiles its minimal pad)."""
+        for b in self.buckets or ():
+            self._fn_for(b)
+        for h, w in shapes:
+            self._fn_for(pick_bucket(h, w, self.buckets,
+                                     self.cfg.model.encoder_ds))
+
+    # -- inference --------------------------------------------------------
+
+    def _dispatch(self, iml: np.ndarray, imr: np.ndarray):
+        """Pad, pick bucket, enqueue on device. Returns (device_out, h, w,
+        bucket) without waiting for execution."""
+        import jax.numpy as jnp
+        h, w = iml.shape
+        bucket = pick_bucket(h, w, self.buckets,
+                             self.cfg.model.encoder_ds)
+        il, ir = pad_to_bucket(iml, imr, bucket)
+        fn = self._fn_for(bucket)
+        out = fn(self.variables, jnp.asarray(il), jnp.asarray(ir))
+        with self._lock:
+            self._stats["frames"] += 1
+            hits = self._stats["bucket_hits"]
+            hits[bucket] = hits.get(bucket, 0) + 1
+        return out, h, w, bucket
+
+    @staticmethod
+    def _fetch(out, h: int, w: int, bucket: Tuple[int, int]) -> np.ndarray:
+        disp = np.asarray(out)[0]                     # [bh, bw]
+        return np.ascontiguousarray(
+            disp[bucket[0] - h:bucket[0], :w].astype(np.float32))
+
+    def predict(self, iml: np.ndarray, imr: np.ndarray) -> np.ndarray:
+        """One frame, blocking: uint8 [H, W] pair -> float32 [H, W]
+        disparity (original resolution, padding cropped)."""
+        return self._fetch(*self._dispatch(iml, imr))
+
+    def predict_stream(self, pairs: Iterable[Tuple[np.ndarray, np.ndarray]],
+                       ) -> Iterator[np.ndarray]:
+        """Pipelined bulk inference: keeps up to `depth` frames in flight.
+
+        The generator yields disparities in input order. Host-side padding
+        of frame k+1 overlaps device execution of frame k; a fetcher thread
+        owns the blocking device->host reads.
+        """
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        results: "queue.Queue" = queue.Queue()
+        DONE = object()
+
+        def fetcher():
+            while True:
+                item = q.get()
+                if item is DONE:
+                    results.put(DONE)
+                    return
+                try:
+                    results.put(self._fetch(*item))
+                except Exception as e:                # surface to consumer
+                    results.put(e)
+                    return
+
+        t = threading.Thread(target=fetcher, daemon=True)
+        t.start()
+        pending = 0
+        pairs_it = iter(pairs)
+
+        def drain_one():
+            r = results.get()
+            if isinstance(r, Exception):
+                raise r
+            return r
+
+        try:
+            for iml, imr in pairs_it:
+                q.put(self._dispatch(iml, imr))
+                pending += 1
+                # opportunistically yield finished frames to bound memory
+                while pending > self.depth and not results.empty():
+                    yield drain_one()
+                    pending -= 1
+            q.put(DONE)
+            while pending:
+                yield drain_one()
+                pending -= 1
+        finally:
+            results.queue.clear()
+
+    # -- introspection ----------------------------------------------------
+
+    def stats(self) -> Dict:
+        with self._lock:
+            s = dict(self._stats)
+            s["bucket_hits"] = dict(s["bucket_hits"])
+            s["compiled_buckets"] = sorted(self._fns)
+        return s
+
+
+def benchmark_server(server: StereoServer, n: int = 32,
+                     shape: Tuple[int, int] = (375, 1242)) -> Dict:
+    """Sustained-throughput probe: n identical frames through the
+    pipelined path; returns frames/sec wall (includes host + relay)."""
+    rng = np.random.default_rng(0)
+    iml = rng.integers(0, 256, shape, dtype=np.uint8)
+    imr = rng.integers(0, 256, shape, dtype=np.uint8)
+    server.predict(iml, imr)                          # warm bucket
+    t0 = time.perf_counter()
+    for _ in server.predict_stream((iml, imr) for _ in range(n)):
+        pass
+    dt = time.perf_counter() - t0
+    return {"frames": n, "wall_s": dt, "fps": n / dt}

@@ -27,7 +27,13 @@ def main():
 
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     mcfg = MatchingConfig()
-    model = build_model(ModelConfig(name="MS-PSMNet", max_disp=D))
+    # A/B knobs: PSM_PACKED_OUTER=0 -> full-layout eval outer graph;
+    # PSM_QUANT=1 -> int8 eval of the gated convs
+    import os
+    model = build_model(ModelConfig(
+        name="MS-PSMNet", max_disp=D,
+        quant_eval=bool(int(os.environ.get("PSM_QUANT", "0"))),
+        packed_eval_outer=bool(int(os.environ.get("PSM_PACKED_OUTER", "1")))))
 
     rng = np.random.default_rng(0)
     iml = jnp.asarray(rng.integers(0, 256, (1, H, W), dtype=np.uint8))

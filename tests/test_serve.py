@@ -1,0 +1,118 @@
+"""Serving subsystem: bucket selection, exactness of bucket padding,
+compile caching, pipelined stream ordering."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from msnets_tpu.config import (Config, DataConfig, EvalConfig, MatchingConfig,
+                               ModelConfig, TrainConfig)
+from msnets_tpu.serve import (StereoServer, pick_bucket, pad_to_bucket,
+                              DEFAULT_BUCKETS)
+
+
+def _small_cfg(max_disp=32):
+    return Config(model=ModelConfig(name="MS-GCNet", max_disp=max_disp,
+                                    compute_dtype="float32"),
+                  matching=MatchingConfig())
+
+
+def _server(buckets, max_disp=32):
+    cfg = _small_cfg(max_disp)
+    from msnets_tpu.models import build_model
+    model = build_model(cfg.model)
+    fs = (1, max_disp // 2, 16, 32, 8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(fs, jnp.float32), train=False)
+    return StereoServer(cfg, variables, buckets=buckets)
+
+
+def test_pick_bucket():
+    assert pick_bucket(375, 1242, DEFAULT_BUCKETS) == (384, 1248)
+    assert pick_bucket(240, 400, DEFAULT_BUCKETS) == (256, 512)
+    assert pick_bucket(540, 960, DEFAULT_BUCKETS) == (576, 960)
+    # nothing covers -> exact pad-to-32 becomes a new bucket
+    assert pick_bucket(600, 1250, DEFAULT_BUCKETS) == (608, 1280)
+    # smallest-area preference among the buckets that fit
+    assert pick_bucket(100, 600, DEFAULT_BUCKETS) == (384, 1248)
+
+
+def test_pad_to_bucket_convention():
+    iml = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    il, ir = pad_to_bucket(iml, iml, (4, 5))
+    assert il.shape == (4, 5)
+    # top + right zero padding (cbmv_generator.py:780-788 convention)
+    np.testing.assert_array_equal(il[:2], 0)
+    np.testing.assert_array_equal(il[2:, :3], iml)
+    np.testing.assert_array_equal(il[:, 3:], 0)
+
+
+def test_exact_mode_matches_reference_padding():
+    """Exact mode (buckets=None) must reproduce the minimal pad-to-32
+    path bit-for-bit: pick_bucket returns the exact_bucket shape, so the
+    served result equals serving through a bucket of exactly that shape."""
+    rng = np.random.default_rng(0)
+    h, w = 56, 120
+    iml = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    imr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    sv_exact = _server(buckets=None)
+    sv_min = _server(buckets=[(64, 128)])       # == exact_bucket(56, 120)
+    d_exact = sv_exact.predict(iml, imr)
+    d_min = sv_min.predict(iml, imr)
+    assert d_exact.shape == (h, w)
+    np.testing.assert_array_equal(d_exact, d_min)
+    assert sv_exact.stats()["compiled_buckets"] == [(64, 128)]
+
+
+def test_bucket_padding_is_approximate_but_close():
+    """Serving through a LARGER bucket is documented as approximate: the
+    padded band's matching features are non-zero (AML of a flat region is
+    uniform), so outputs shift slightly within the regularizer's receptive
+    field of the top/right edge. Bound the drift on a random-init model."""
+    rng = np.random.default_rng(0)
+    h, w = 56, 120
+    iml = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    imr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    d_min = _server(buckets=[(64, 128)]).predict(iml, imr)
+    d_big = _server(buckets=[(96, 160)]).predict(iml, imr)
+    assert d_min.shape == (h, w) and d_big.shape == (h, w)
+    # same disparity field to ~2-3% — close, but intentionally not exact
+    rel = np.abs(d_big - d_min) / np.maximum(np.abs(d_min), 1.0)
+    assert np.median(rel) < 0.02 and rel.max() < 0.15
+
+
+def test_compile_cache_and_stats():
+    sv = _server(buckets=[(64, 128)])
+    rng = np.random.default_rng(1)
+    for shape in [(64, 128), (50, 100), (60, 120)]:
+        iml = rng.integers(0, 256, shape, dtype=np.uint8)
+        sv.predict(iml, iml)
+    s = sv.stats()
+    assert s["frames"] == 3
+    assert s["compiles"] == 1          # one bucket covers all three
+    assert s["bucket_hits"] == {(64, 128): 3}
+    # out-of-bucket shape triggers exactly one new compile
+    iml = rng.integers(0, 256, (96, 160), dtype=np.uint8)
+    sv.predict(iml, iml)
+    assert sv.stats()["compiles"] == 2
+
+
+def test_predict_stream_order_and_values():
+    sv = _server(buckets=[(64, 128)])
+    rng = np.random.default_rng(2)
+    pairs = [(rng.integers(0, 256, (64, 128), dtype=np.uint8),
+              rng.integers(0, 256, (64, 128), dtype=np.uint8))
+             for _ in range(5)]
+    got = list(sv.predict_stream(iter(pairs)))
+    assert len(got) == 5
+    for (iml, imr), d in zip(pairs, got):
+        np.testing.assert_allclose(d, sv.predict(iml, imr),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_warmup_compiles_all_buckets():
+    sv = _server(buckets=[(64, 128), (96, 160)])
+    sv.warmup()
+    s = sv.stats()
+    assert s["compiles"] == 2 and s["frames"] == 0
+    assert s["compiled_buckets"] == [(64, 128), (96, 160)]
