@@ -187,6 +187,7 @@ def run_train(cfg: Config, mesh=None, log=print):
             "Accu3: {:.4f}".format(epoch, avg["loss"], avg["epe"], avg["accu3"]))
         tr.maybe_save(state, epoch, avg)
     tr.maybe_save(state, e0 + ne, avg, final=True)
+    tr.finish_checkpoints()     # drain async writes before anyone resumes
     if writer is not None:
         writer.close()
     return state

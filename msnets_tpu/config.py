@@ -128,6 +128,10 @@ class TrainConfig:
     # jax.distributed these default from process_count()/process_index().
     num_hosts: int = 1
     host_id: int = 0
+    # async checkpointing: epoch saves snapshot on-device and write on a
+    # background thread (engine/checkpoint.py:AsyncCheckpointer), so the
+    # next epoch starts without waiting on the HBM->host fetch + disk write
+    async_ckpt: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

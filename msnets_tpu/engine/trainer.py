@@ -63,6 +63,7 @@ class Trainer:
         self.mesh = mesh
         self.is_kitti = cfg.data.kitti2012 or cfg.data.kitti2015
         self._step_fns = {}
+        self._async_ckpt = None
 
     # -- state ------------------------------------------------------------
     def init_state(self, sample_feats_shape: Tuple[int, ...],
@@ -243,11 +244,24 @@ class Trainer:
         t = self.cfg.train
         cadence_ok = (epoch % t.kitti_ckpt_every == 0) if self.is_kitti else True
         if cadence_ok or final:
+            meta = {"loss": avg.get("loss"), "epe_err": avg.get("epe"),
+                    "accu3": avg.get("accu3")}
+            if t.async_ckpt:
+                if self._async_ckpt is None:
+                    self._async_ckpt = ckpt.AsyncCheckpointer()
+                return self._async_ckpt.save(
+                    t.checkpoint_dir, self.cfg.model.name, epoch, state,
+                    meta=meta)
             return ckpt.save_checkpoint(
                 t.checkpoint_dir, self.cfg.model.name, epoch, state,
-                meta={"loss": avg.get("loss"), "epe_err": avg.get("epe"),
-                      "accu3": avg.get("accu3")})
+                meta=meta)
         return None
+
+    def finish_checkpoints(self) -> None:
+        """Drain pending async checkpoint writes (call before exiting or
+        before another process resumes from the files)."""
+        if self._async_ckpt is not None:
+            self._async_ckpt.wait()
 
     def resume(self, state: TrainState, path: str) -> TrainState:
         """Resume from our msgpack or import a reference torch .tar."""

@@ -86,7 +86,8 @@ def test_lr_schedule():
 
 def test_checkpoint_roundtrip_and_resume(cfg, trained):
     tr, state, avg, _ = trained
-    path = tr.maybe_save(state, epoch=1, avg=avg)
+    path = tr.maybe_save(state, epoch=1, avg=avg)   # async by default
+    tr.finish_checkpoints()                         # drain before reading
     assert path and os.path.exists(path) and path.endswith("model_epoch_00001.msgpack")
     tr2 = Trainer(cfg)
     fresh = tr2.init_state(tr2.feats_shape_for(cfg.train.batch_size))
@@ -191,3 +192,47 @@ def test_grad_accum_matches_single_step_on_duplicated_batch(cfg):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(d2[1]), np.asarray(d1[0]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_async_checkpointer_matches_sync_and_survives_donation(tmp_path):
+    """Async saves must be byte-identical to sync saves even when the
+    caller's device buffers are clobbered right after save() — the
+    donation hazard the on-device snapshot exists for."""
+    import jax
+
+    state = {"w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+             "step": jnp.asarray(7, jnp.int32)}
+    expect = {k: np.asarray(v) for k, v in state.items()}
+
+    sync_path = ck.save_checkpoint(str(tmp_path / "sync"), "m", 1, state)
+    ac = ck.AsyncCheckpointer()
+    async_path = ac.save(str(tmp_path / "async"), "m", 1, state)
+
+    # donate the source buffers to a jit that overwrites them in place
+    clobber = jax.jit(lambda s: jax.tree.map(lambda x: x * 0 - 1, s),
+                      donate_argnums=(0,))
+    state = clobber(state)
+    ac.wait()
+
+    assert os.path.exists(async_path)
+    restored, _ = ck.load_checkpoint(
+        async_path, {"w": np.zeros((3, 4), np.float32),
+                     "step": np.zeros((), np.int32)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), expect["w"])
+    assert int(restored["step"]) == 7
+    with open(sync_path, "rb") as a, open(async_path, "rb") as b:
+        assert a.read() == b.read()
+    # no stray .tmp files (atomic replace)
+    assert not [p for p in os.listdir(os.path.dirname(async_path))
+                if p.endswith(".tmp")]
+    ac.close()
+
+
+def test_async_checkpointer_surfaces_writer_errors(tmp_path):
+    """A failed background write must raise on wait(), not vanish."""
+    ac = ck.AsyncCheckpointer()
+    bad = str(tmp_path / "file")
+    open(bad, "w").close()               # makedirs(bad/m) will fail
+    ac.save(bad, "m", 1, {"w": jnp.zeros(2)})
+    with pytest.raises(Exception):
+        ac.wait()
