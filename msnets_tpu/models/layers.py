@@ -27,6 +27,16 @@ from flax import linen as nn
 from ..parallel import mesh as pmesh
 
 
+def _conv(lhs, rhs, *args, **kwargs):
+    """lax.conv_general_dilated with the RHS kernel pinned replicated on the
+    active mesh (pmesh.replicate): the GSPMD partitioner miscompiles convs
+    whose kernel is a computed value (eval BN folds, packed/expanded kernel
+    rearrangements) when the volume is sharded on two conv dims at once —
+    wrong values everywhere, not an fp-noise effect. No-op single-device."""
+    return jax.lax.conv_general_dilated(lhs, pmesh.replicate(rhs),
+                                        *args, **kwargs)
+
+
 def he_normal_msnets(kernel_spatial: int = 3):
     """N(0, sqrt(2/n)) with n = k^3 * out_channels (net_init.py:30-34).
 
@@ -107,7 +117,7 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     if not decompose:
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                             ("NDHWC", "DHWIO", "NDHWC"))
-        return jax.lax.conv_general_dilated(
+        return _conv(
             x.astype(dtype), kernel.astype(dtype), (stride,) * 3,
             [(pad, pad)] * 3, dimension_numbers=dn)
     N, D, H, W, _ = x.shape
@@ -127,7 +137,7 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
         # same-dtype in/out: a float32 preferred_element_type on bf16
         # operands breaks the conv transpose (autodiff) rule with a dtype
         # mismatch; the MXU accumulates in f32 internally regardless
-        y = jax.lax.conv_general_dilated(
+        y = _conv(
             s2, kernel[dz], (stride, stride), [(pad, pad)] * 2,
             dimension_numbers=dn)
         out = y if out is None else out + y
@@ -192,7 +202,7 @@ def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
         s2 = v.reshape(N * D2, H2, W2, 4 * cin)
         dn = jax.lax.conv_dimension_numbers(s2.shape, k2.shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
+        y = _conv(
             s2, k2, (1, 1), [(1, 0), (1, 0)], dimension_numbers=dn,
             preferred_element_type=jnp.int32 if quantized else None)
         return y.reshape(N, D2, H2, W2, cout)
@@ -292,7 +302,7 @@ def conv3d_s1_hw_packed(xp: jnp.ndarray, kernel: jnp.ndarray, dtype,
         sl = xpd[:, dz:dz + D].reshape(N * D, Hb, Wb, c4)
         dn = jax.lax.conv_dimension_numbers(sl.shape, k2s[dz].shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
+        y = _conv(
             sl, k2s[dz], (1, 1), pad2, dimension_numbers=dn,
             preferred_element_type=jnp.int32 if quantized else None)
         out = y if out is None else out + y
@@ -354,7 +364,7 @@ def conv3d_s1_w_packed(xw: jnp.ndarray, kernel: jnp.ndarray, dtype,
         sl = xpd[:, dz:dz + D].reshape(N * D, Hh, Wb, c2)
         dn = jax.lax.conv_dimension_numbers(sl.shape, k2s[dz].shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
+        y = _conv(
             sl, k2s[dz], (1, 1), [(1, 1), padw], dimension_numbers=dn,
             preferred_element_type=jnp.int32 if quantized else None)
         out = y if out is None else out + y
@@ -427,7 +437,7 @@ def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
         sl = xpd[:, dz:dz + D].reshape(N * D, H, W, cin)
         dn = jax.lax.conv_dimension_numbers(sl.shape, k4s[dz].shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
+        y = _conv(
             sl, k4s[dz], (2, 2), pad2, dimension_numbers=dn,
             preferred_element_type=jnp.int32 if quantized else None)
         out = y if out is None else out + y
@@ -464,7 +474,7 @@ def conv3d_k3_cout1_tapgemm(x: jnp.ndarray, kernel: jnp.ndarray,
     classifier heads (reference psmnet_3dcnn.py:166-172, nn.Conv3d(32,1))."""
     N, D, H, W, cin = x.shape
     k_all = kernel.reshape(27, cin).T.astype(dtype)          # [cin, 27]
-    T = jax.lax.dot_general(x.astype(dtype), k_all,
+    T = jax.lax.dot_general(x.astype(dtype), pmesh.replicate(k_all),
                             (((4,), (0,)), ((), ())))
     Tp = jnp.pad(T, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     acc = None
@@ -764,7 +774,8 @@ def deconv3d_subpixel(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                         xp, (0, oz, oy, ox, 0), (N, D, H, W, cin))
                     k2 = kernel[kz, ky, kx]              # [cin, cout]
                     y = jax.lax.dot_general(
-                        sl.astype(jnp.float32), k2.astype(jnp.float32),
+                        sl.astype(jnp.float32),
+                        pmesh.replicate(k2.astype(jnp.float32)),
                         (((4,), (0,)), ((), ())))
                     acc = y if acc is None else acc + y
         if acc is None:
@@ -824,7 +835,7 @@ def deconv3d_s2_packed_out(x: jnp.ndarray, kernel: jnp.ndarray,
         sl = xpd[:, bz:bz + D].reshape(N * D, H, W, cin)
         dn = jax.lax.conv_dimension_numbers(sl.shape, k2[bz].shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(sl, k2[bz], (1, 1),
+        y = _conv(sl, k2[bz], (1, 1),
                                          [(0, 1), (0, 1)],
                                          dimension_numbers=dn)
         out = y if out is None else out + y
@@ -860,7 +871,7 @@ def deconv3d_s2_pz_slabs(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
             sl = xpd[:, bz:bz + D].reshape(N * D, H, W, cin)
             dn = jax.lax.conv_dimension_numbers(
                 sl.shape, kpz[bz, ..., t, :].shape, ("NHWC", "HWIO", "NHWC"))
-            y = jax.lax.conv_general_dilated(
+            y = _conv(
                 sl, kpz[bz, ..., t, :], (1, 1), [(0, 1), (0, 1)],
                 dimension_numbers=dn)
             acc = y if acc is None else acc + y
@@ -915,7 +926,7 @@ def deconv3d_conv_shuffle(x: jnp.ndarray, kernel: jnp.ndarray,
     k2 = _conv_shuffle_kernel(kernel)
     dn = jax.lax.conv_dimension_numbers(
         x.shape, k2.shape, ("NDHWC", "DHWIO", "NDHWC"))
-    y = jax.lax.conv_general_dilated(
+    y = _conv(
         x.astype(dtype), k2.astype(dtype), (1, 1, 1),
         [(0, 1)] * 3, dimension_numbers=dn)          # [N, D, H, W, 8*cout]
     y = y.reshape(N, D, H, W, 2, 2, 2, cout)
@@ -942,7 +953,7 @@ def deconv3d_apply(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     pad_hi = k - 2 + (s - 1)  # + output_padding = stride-1
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
-    return jax.lax.conv_general_dilated(
+    return _conv(
         x.astype(dtype), kernel.astype(dtype),
         window_strides=(1, 1, 1),
         padding=[(pad_lo, pad_hi)] * 3,
@@ -1169,7 +1180,8 @@ class SubpixelSoftArgminHead(nn.Module):
         # GEMMs would re-read x 27 times); phases then combine shifted
         # slices of the tap tensor T.
         k_all = kernel.reshape(27, cin).T.astype(jnp.float32)  # [cin, 27]
-        T = jax.lax.dot_general(x.astype(jnp.float32), k_all,
+        T = jax.lax.dot_general(x.astype(jnp.float32),
+                                pmesh.replicate(k_all),
                                 (((4,), (0,)), ((), ())))
         T = jnp.pad(T, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
 
@@ -1262,7 +1274,7 @@ class SubpixelSoftArgminHead(nn.Module):
             sl = xpd[:, bz:bz + Db].reshape(N * Db, Hb, Wb, c8)
             dn = jax.lax.conv_dimension_numbers(sl.shape, kbig[bz].shape,
                                                 ("NHWC", "HWIO", "NHWC"))
-            y = jax.lax.conv_general_dilated(
+            y = _conv(
                 sl, kbig[bz], (1, 1), [(0, 1), (0, 1)],
                 dimension_numbers=dn,
                 preferred_element_type=self.dtype)
@@ -1344,7 +1356,7 @@ class SubpixelSoftArgminHead(nn.Module):
                     src = src.reshape(N * Db, Hb, Wb // 2, -1)
                 dn = jax.lax.conv_dimension_numbers(
                     src.shape, kg[s, bd].shape, ("NHWC", "HWIO", "NHWC"))
-                y = jax.lax.conv_general_dilated(
+                y = _conv(
                     src, kg[s, bd], (1, 1), [(0, 1), (0, 1)],
                     dimension_numbers=dn, preferred_element_type=self.dtype)
                 L = y if L is None else L + y

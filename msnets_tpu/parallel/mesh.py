@@ -93,6 +93,27 @@ def shard(mesh: Mesh, spec: P):
     return NamedSharding(mesh, spec)
 
 
+def replicate(x):
+    """Pin a tensor fully replicated on the active mesh (no-op otherwise).
+
+    Workaround for a GSPMD partitioner miscompilation observed on the CPU
+    backend: a conv whose RHS kernel is a *computed* value (e.g. the eval
+    BN fold ``kernel * scale``) and whose LHS volume is sharded on two conv
+    dims at once (disp + spatial) produces wrong values across the whole
+    output — not just at halo boundaries (kernels passed straight from jit
+    arguments are unaffected, single-axis sharding is unaffected; see
+    tests/test_serve.py::test_serve_sharded_mesh_matches_unsharded which
+    caught it). Explicitly annotating the computed kernel as replicated
+    restores bit-level agreement with the unsharded graph. Cheap: kernels
+    are KB-sized and replicated anyway.
+    """
+    mesh = _ACTIVE_MESH[-1] if _ACTIVE_MESH else None
+    if mesh is None or not hasattr(x, "ndim"):
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*([None] * x.ndim))))
+
+
 # Trace-time active mesh for intra-model sharding re-annotation -----------
 
 _ACTIVE_MESH = []

@@ -116,3 +116,25 @@ def test_warmup_compiles_all_buckets():
     s = sv.stats()
     assert s["compiles"] == 2 and s["frames"] == 0
     assert s["compiled_buckets"] == [(64, 128), (96, 160)]
+
+
+def test_serve_sharded_mesh_matches_unsharded():
+    """StereoServer over a (data,spatial,disp) mesh must produce the same
+    disparities as the single-device server (GSPMD halo exchange +
+    disparity-axis reductions are numerics-preserving)."""
+    from msnets_tpu.parallel import mesh as pm
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _small_cfg()
+    from msnets_tpu.models import build_model
+    model = build_model(cfg.model)
+    fs = (1, cfg.model.max_disp // 2, 16, 32, 8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(fs, jnp.float32), train=False)
+    mesh = pm.make_mesh((1, 2, 2), devices=jax.devices()[:4])
+    rng = np.random.default_rng(3)
+    iml = rng.integers(0, 256, (64, 128), dtype=np.uint8)
+    imr = rng.integers(0, 256, (64, 128), dtype=np.uint8)
+    d0 = StereoServer(cfg, variables).predict(iml, imr)
+    d1 = StereoServer(cfg, variables, mesh=mesh).predict(iml, imr)
+    np.testing.assert_allclose(d1, d0, rtol=2e-4, atol=2e-4)
