@@ -106,9 +106,22 @@ class StereoServer:
         self._stats = {"frames": 0, "compiles": 0, "bucket_hits": {}}
 
         from .models import build_model
+        from .parallel import mesh as pm
         self.model = build_model(cfg.model)
-        self.variables = {"params": variables["params"],
-                          "batch_stats": variables.get("batch_stats", {})}
+        variables = {"params": variables["params"],
+                     "batch_stats": variables.get("batch_stats", {})}
+        # Pin the weights on-device ONCE: host-resident (numpy) variables
+        # re-upload ~11 MB per predict() call. Measured impact
+        # (scripts/perf_serve.py, KITTI shape through the axon relay):
+        # pipelined serving runs at 108.5 ms/frame = 94% of the 102 ms pure
+        # device time; the unpipelined blocking path is relay-round-trip
+        # dominated either way (seconds/frame, high variance) — use
+        # predict_stream for throughput.
+        if mesh is not None:
+            self.variables = jax.device_put(variables,
+                                            pm.shard(mesh, pm.REPLICATED))
+        else:
+            self.variables = jax.device_put(variables)
         self._jax = jax
 
     @classmethod
