@@ -629,3 +629,50 @@ def test_psmnet_quant_eval_close_to_float():
     of, _ = mf.apply(v, cv, True, mutable=["batch_stats"])
     for a, b in zip(ot, of):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_gcnet_quarter_input_stride4_tail():
+    """is_quarter_input_size variant (gcnet_3dcnn.py:88-90): quarter-res
+    volume in, final x4 deconv restores full D, H, W."""
+    D, H, W = 32, 16, 32                 # quarter-res volume dims (16-mult:
+                                         # 4 stride-2 encoder stages + tail)
+    m = MSGCNet(max_disp=4 * D, quarter_input=True, num_filters=4,
+                dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, D, H, W, 8)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    y = m.apply(v, x, train=False)
+    assert y.shape == (1, 4 * H, 4 * W)
+    yn = np.asarray(y)
+    assert np.isfinite(yn).all()
+    assert (yn >= 0).all() and (yn <= 4 * D - 1).all()
+    # train mode too (3-head/full-BN branches share the stride-4 tail)
+    vt = m.init(jax.random.PRNGKey(0), x, train=True)
+    yt, _ = m.apply(vt, x, train=True, mutable=["batch_stats"])
+    assert yt.shape == (1, 4 * H, 4 * W)
+
+
+@pytest.mark.parametrize("name", ["MS-GCNet", "MS-PSMNet"])
+def test_models_16ch_lr_features(name):
+    """cbmv_F=16 (left+right AML features, extract_features_lr semantics)
+    through both regularizers: in_channels=16 end-to-end."""
+    from msnets_tpu.config import MatchingConfig
+    from msnets_tpu.ops.features import ms_features
+
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, (40, 87), dtype=np.uint8)
+    iml, imr = base[:, :80], base[:, 7:]
+    mcfg = MatchingConfig(num_channels=16)
+    assert not mcfg.left_only
+    # margins chosen so the working-res volume is [16, 32, 64] (16-multiples)
+    f = ms_features(jnp.asarray(iml), jnp.asarray(imr), 16, mcfg,
+                    4, 16, 0, mcfg.left_only, jnp.float32)
+    assert f.shape == (16, 32, 64, 16)           # [D, H, W, 16]
+
+    model = build_model(ModelConfig(name=name, max_disp=32, in_channels=16,
+                                    base_filters=4, compute_dtype="float32"))
+    x = f[None]
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(v, x, train=False)
+    assert y.shape == (1, 2 * f.shape[1], 2 * f.shape[2])
+    assert np.isfinite(np.asarray(y)).all()
