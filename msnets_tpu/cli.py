@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_disp", type=int, default=192)
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--batchSize", type=int, default=1)
+    p.add_argument("--ckpt_every_steps", type=int, default=0,
+                   help="mid-epoch async checkpoint every N steps (0 off); "
+                        "resuming such a checkpoint continues INSIDE the "
+                        "epoch at the exact next batch")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="micro-batch count per step (gradient accumulation)")
     p.add_argument("--log_summary_step", type=int, default=200)
@@ -107,7 +111,8 @@ def args_to_config(a) -> Config:
                           checkpoint_dir=a.checkpoint_dir,
                           train_logdir=a.train_logdir, resume=a.resume,
                           remat=remat, grad_accum=a.grad_accum,
-                          num_hosts=a.num_hosts, host_id=a.host_id),
+                          num_hosts=a.num_hosts, host_id=a.host_id,
+                          ckpt_every_steps=a.ckpt_every_steps),
         data=DataConfig(data_path=a.data_path, training_list=a.training_list,
                         test_list=a.test_list,
                         kitti2012=bool(a.kitti2012),
@@ -137,9 +142,19 @@ def run_train(cfg: Config, mesh=None, log=print):
     tr = Trainer(cfg, mesh=mesh)
     state = tr.init_state(tr.feats_shape_for(cfg.train.batch_size),
                           seed=cfg.train.seed)
+    resume_epoch, resume_iter = 0, 0
     if cfg.train.resume and os.path.isfile(cfg.train.resume):
         log(f"[***] resuming from {cfg.train.resume}")
         state = tr.resume(state, cfg.train.resume)
+        meta_path = cfg.train.resume + ".json"
+        if os.path.isfile(meta_path):
+            import json
+            meta = json.load(open(meta_path))
+            if "iteration" in meta:     # step-granular checkpoint: resume
+                resume_epoch = int(meta["epoch"])      # INSIDE that epoch
+                resume_iter = int(meta["iteration"])
+                log(f"[***] mid-epoch resume: epoch {resume_epoch} "
+                    f"batch {resume_iter}")
 
     pipe = TrainPipeline(cfg.data, cfg.matching, cfg.train.crop_height,
                          cfg.train.crop_width, cfg.model.max_disp,
@@ -180,9 +195,13 @@ def run_train(cfg: Config, mesh=None, log=print):
 
     avg = {}
     e0, ne = cfg.train.start_epoch, cfg.train.epochs
+    if resume_iter and resume_epoch > e0:
+        e0 = resume_epoch - 1           # re-enter the interrupted epoch
     for epoch in range(1 + e0, e0 + ne + 1):
         log(f"[**] training epoch {epoch}/{e0 + ne}")
-        state, avg = tr.train_epoch(state, pipe, epoch, log_fn=log_fn)
+        si = resume_iter if epoch == resume_epoch else 0
+        state, avg = tr.train_epoch(state, pipe, epoch, log_fn=log_fn,
+                                    start_iteration=si)
         log("===> Epoch {} Complete: Avg. Loss: {:.4f}, Avg. EPE: {:.4f}, "
             "Accu3: {:.4f}".format(epoch, avg["loss"], avg["epe"], avg["accu3"]))
         tr.maybe_save(state, epoch, avg)

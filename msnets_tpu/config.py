@@ -132,6 +132,11 @@ class TrainConfig:
     # background thread (engine/checkpoint.py:AsyncCheckpointer), so the
     # next epoch starts without waiting on the HBM->host fetch + disk write
     async_ckpt: bool = True
+    # mid-epoch (step-granular) async checkpoints every N steps (0 = off):
+    # model_step_%08d.msgpack with {epoch, iteration} meta; run_train
+    # resumes INSIDE the epoch, replaying exactly the remaining batches
+    # (the reference's recovery granularity is one epoch, §5.3)
+    ckpt_every_steps: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -242,19 +242,27 @@ class TrainPipeline:
                                  self.crop_h, self.crop_w, self.max_disp,
                                  self.cfg, rng, self.fixed_center)
 
-    def epoch(self, epoch: int) -> Iterator[dict]:
-        """Yield batches of stacked host arrays for one epoch."""
+    def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[dict]:
+        """Yield batches of stacked host arrays for one epoch.
+
+        ``start_batch`` skips the first N batches WITHOUT loading them —
+        every sample is keyed by (seed, epoch, index), so resuming an
+        interrupted epoch at batch N replays exactly the batches an
+        uninterrupted run would have seen (step-granular recovery; the
+        reference's recovery granularity is a whole epoch,
+        do_main_msnet.sh:143-192)."""
         perm_rng = np.random.default_rng((self.seed, epoch))
         perm = perm_rng.permutation(len(self.entries))
         shard = perm[self.host_id::self.num_hosts]
         self._epoch_entries = [self.entries[i] for i in shard]
         n_batches = len(self._epoch_entries) // self.batch_size
-        indices = list(range(n_batches * self.batch_size))
+        indices = list(range(start_batch * self.batch_size,
+                             n_batches * self.batch_size))
 
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
-            futures = [ex.submit(self._load, epoch, i) for i in indices]
-            for b in range(n_batches):
+            futures = {i: ex.submit(self._load, epoch, i) for i in indices}
+            for b in range(start_batch, n_batches):
                 samples = [futures[b * self.batch_size + j].result()
                            for j in range(self.batch_size)]
                 yield {

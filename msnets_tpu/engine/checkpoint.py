@@ -30,6 +30,12 @@ def ckpt_path(checkpoint_dir: str, model_name: str, epoch: int) -> str:
     return pjoin(checkpoint_dir, model_name, f"model_epoch_{epoch:05d}.msgpack")
 
 
+def step_ckpt_path(checkpoint_dir: str, model_name: str, step: int) -> str:
+    """Mid-epoch (step-granular) checkpoint name; the sidecar json carries
+    {epoch, iteration} so run_train can resume inside the epoch."""
+    return pjoin(checkpoint_dir, model_name, f"model_step_{step:08d}.msgpack")
+
+
 def _atomic_write(path: str, data: bytes) -> None:
     """tmp + os.replace so a crash mid-write never leaves a truncated
     checkpoint at the resume-contract filename."""
@@ -43,11 +49,11 @@ def _atomic_write(path: str, data: bytes) -> None:
 
 def save_checkpoint(checkpoint_dir: str, model_name: str, epoch: int,
                     state: Any, meta: Optional[Dict] = None,
-                    is_best: bool = False) -> str:
+                    is_best: bool = False, path: Optional[str] = None) -> str:
     """Serialize a train-state pytree + sidecar meta json (atomic files)."""
     d = pjoin(checkpoint_dir, model_name)
     os.makedirs(d, exist_ok=True)
-    path = ckpt_path(checkpoint_dir, model_name, epoch)
+    path = path or ckpt_path(checkpoint_dir, model_name, epoch)
     state = jax.device_get(state)
     _atomic_write(path, serialization.to_bytes(state))
     with open(path + ".json", "w") as f:
@@ -102,15 +108,16 @@ class AsyncCheckpointer:
 
     def save(self, checkpoint_dir: str, model_name: str, epoch: int,
              state: Any, meta: Optional[Dict] = None,
-             is_best: bool = False) -> str:
+             is_best: bool = False, path: Optional[str] = None) -> str:
         """Enqueue a checkpoint write; returns the (future) file path.
         Blocks only if ``max_pending`` writes are already in flight."""
         self._raise_pending()
+        path = path or ckpt_path(checkpoint_dir, model_name, epoch)
         job = dict(checkpoint_dir=checkpoint_dir, model_name=model_name,
                    epoch=epoch, state=self._snapshot(state), meta=meta,
-                   is_best=is_best)
+                   is_best=is_best, path=path)
         self._q.put(job)
-        return ckpt_path(checkpoint_dir, model_name, epoch)
+        return path
 
     def wait(self) -> List[str]:
         """Block until all enqueued writes hit disk; raise writer errors."""

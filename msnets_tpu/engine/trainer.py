@@ -214,12 +214,18 @@ class Trainer:
 
     # -- epoch loop -------------------------------------------------------
     def train_epoch(self, state: TrainState, pipeline, epoch: int,
-                    log_fn=None) -> Tuple[TrainState, Dict[str, float]]:
+                    log_fn=None, start_iteration: int = 0,
+                    ) -> Tuple[TrainState, Dict[str, float]]:
+        """One epoch from batch ``start_iteration`` (mid-epoch resume:
+        the pipeline replays exactly the batches an uninterrupted epoch
+        would have seen from that point)."""
         lr = epoch_lr(self.cfg.train.lr, epoch, self.cfg.train.lr_decay_epoch,
                       self.cfg.train.lr_decay_factor)
+        every = self.cfg.train.ckpt_every_steps
         tot = {"loss": 0.0, "epe": 0.0, "accu3": 0.0}
         n = 0
-        for i, batch in enumerate(pipeline.epoch(epoch)):
+        for i, batch in enumerate(pipeline.epoch(epoch, start_iteration),
+                                  start=start_iteration):
             t0 = time.time()
             fn = self.step_fn(batch["board_h"], batch["board_w_left"],
                               batch["board_w_right"])
@@ -235,6 +241,8 @@ class Trainer:
             if log_fn is not None:
                 log_fn(epoch=epoch, iteration=i, metrics=m, sec_per_step=dt,
                        state=state, disp=disp, batch=batch)
+            if every and (i + 1) % every == 0:
+                self.save_step(state, epoch, i + 1)
         avg = {k: v / max(n, 1) for k, v in tot.items()}
         return state, avg
 
@@ -256,6 +264,20 @@ class Trainer:
                 t.checkpoint_dir, self.cfg.model.name, epoch, state,
                 meta=meta)
         return None
+
+    def save_step(self, state: TrainState, epoch: int, iteration: int) -> str:
+        """Mid-epoch async checkpoint (step-granular recovery, §5.3): the
+        sidecar meta records where to resume; always written async — the
+        whole point is not stalling the step loop."""
+        t = self.cfg.train
+        if self._async_ckpt is None:
+            self._async_ckpt = ckpt.AsyncCheckpointer()
+        step = int(state.step)
+        return self._async_ckpt.save(
+            t.checkpoint_dir, self.cfg.model.name, epoch, state,
+            meta={"epoch": epoch, "iteration": iteration},
+            path=ckpt.step_ckpt_path(t.checkpoint_dir, self.cfg.model.name,
+                                     step))
 
     def finish_checkpoints(self) -> None:
         """Drain pending async checkpoint writes (call before exiting or

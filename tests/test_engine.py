@@ -236,3 +236,53 @@ def test_async_checkpointer_surfaces_writer_errors(tmp_path):
     ac.save(bad, "m", 1, {"w": jnp.zeros(2)})
     with pytest.raises(Exception):
         ac.wait()
+
+
+def test_step_granular_crash_resume_matches_uninterrupted(cfg):
+    """Kill-and-resume mid-epoch must be invisible: train one epoch
+    uninterrupted -> A; train the same epoch but 'crash' after batch 1,
+    restore the step checkpoint in a fresh trainer and finish from batch 1
+    -> B. A and B must agree bitwise (deterministic pipeline replays the
+    same remaining batches; Adam/BN state ride the checkpoint)."""
+    import dataclasses
+
+    pipeA = TrainPipeline(cfg.data, cfg.matching, cfg.train.crop_height,
+                          cfg.train.crop_width, cfg.model.max_disp,
+                          cfg.train.batch_size, seed=7, num_threads=2)
+    trA = Trainer(cfg)
+    sA = trA.init_state(trA.feats_shape_for(cfg.train.batch_size), seed=7)
+    sA, _ = trA.train_epoch(sA, pipeA, epoch=1)
+
+    # interrupted run: one batch, one step checkpoint, then "crash"
+    trB = Trainer(dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ckpt_every_steps=1)))
+    sB = trB.init_state(trB.feats_shape_for(cfg.train.batch_size), seed=7)
+    for i, batch in enumerate(pipeA.epoch(1)):
+        fn = trB.step_fn(batch["board_h"], batch["board_w_left"],
+                         batch["board_w_right"])
+        sB, _, _ = fn(sB, jnp.asarray(batch["iml"]),
+                      jnp.asarray(batch["imr"]), jnp.asarray(batch["disp"]),
+                      jnp.asarray(1e-3, jnp.float32))
+        trB.save_step(sB, epoch=1, iteration=i + 1)
+        break
+    trB.finish_checkpoints()
+    step_path = ck.step_ckpt_path(cfg.train.checkpoint_dir,
+                                  cfg.model.name, int(sB.step))
+    assert os.path.exists(step_path)
+    import json
+    meta = json.load(open(step_path + ".json"))
+    assert meta == {"epoch": 1, "iteration": 1}
+
+    # fresh process: restore and finish the epoch from batch 1
+    trC = Trainer(cfg)
+    sC = trC.init_state(trC.feats_shape_for(cfg.train.batch_size), seed=0)
+    sC = trC.resume(sC, step_path)
+    sC, _ = trC.train_epoch(sC, pipeA, epoch=1, start_iteration=1)
+
+    import jax
+    for a, b in zip(jax.tree.leaves(sA.params), jax.tree.leaves(sC.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(sA.batch_stats),
+                    jax.tree.leaves(sC.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(sA.step) == int(sC.step)
