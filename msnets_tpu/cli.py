@@ -195,18 +195,28 @@ def run_train(cfg: Config, mesh=None, log=print):
 
     avg = {}
     e0, ne = cfg.train.start_epoch, cfg.train.epochs
-    if resume_iter and resume_epoch > e0:
-        e0 = resume_epoch - 1           # re-enter the interrupted epoch
-    for epoch in range(1 + e0, e0 + ne + 1):
-        log(f"[**] training epoch {epoch}/{e0 + ne}")
-        si = resume_iter if epoch == resume_epoch else 0
-        state, avg = tr.train_epoch(state, pipe, epoch, log_fn=log_fn,
-                                    start_iteration=si)
-        log("===> Epoch {} Complete: Avg. Loss: {:.4f}, Avg. EPE: {:.4f}, "
-            "Accu3: {:.4f}".format(epoch, avg["loss"], avg["epe"], avg["accu3"]))
-        tr.maybe_save(state, epoch, avg)
-    tr.maybe_save(state, e0 + ne, avg, final=True)
-    tr.finish_checkpoints()     # drain async writes before anyone resumes
+    first, last = 1 + e0, e0 + ne       # the configured epoch window
+    if resume_iter and first <= resume_epoch <= last:
+        first = resume_epoch            # re-enter the interrupted epoch;
+                                        # the END bound must not move
+    try:
+        for epoch in range(first, last + 1):
+            log(f"[**] training epoch {epoch}/{last}")
+            si = resume_iter if epoch == resume_epoch else 0
+            state, avg = tr.train_epoch(state, pipe, epoch, log_fn=log_fn,
+                                        start_iteration=si)
+            log("===> Epoch {} Complete: Avg. Loss: {:.4f}, Avg. EPE: {:.4f}, "
+                "Accu3: {:.4f}".format(epoch, avg["loss"], avg["epe"],
+                                       avg["accu3"]))
+            tr.maybe_save(state, epoch, avg)
+        tr.maybe_save(state, last, avg, final=True)
+    finally:
+        # drain async writes even on a crash — the newest model_step_*
+        # files are exactly what crash recovery resumes from
+        try:
+            tr.finish_checkpoints()
+        except Exception as e:          # never mask the original error
+            log(f"[warn] checkpoint drain failed: {e}")
     if writer is not None:
         writer.close()
     return state

@@ -55,9 +55,14 @@ def save_checkpoint(checkpoint_dir: str, model_name: str, epoch: int,
     os.makedirs(d, exist_ok=True)
     path = path or ckpt_path(checkpoint_dir, model_name, epoch)
     state = jax.device_get(state)
+    # sidecar json is written atomically BEFORE the msgpack appears: a
+    # crash in between leaves a json without a checkpoint (harmless —
+    # nothing resumes a missing msgpack), never a resumable checkpoint
+    # with missing/truncated meta (which would silently drop the
+    # mid-epoch `iteration` and replay the epoch from batch 0)
+    _atomic_write(path + ".json",
+                  json.dumps({"epoch": epoch, **(meta or {})}).encode())
     _atomic_write(path, serialization.to_bytes(state))
-    with open(path + ".json", "w") as f:
-        json.dump({"epoch": epoch, **(meta or {})}, f)
     if is_best:
         shutil.copyfile(path, pjoin(d, "model_best.msgpack"))
     return path

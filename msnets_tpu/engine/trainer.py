@@ -244,6 +244,7 @@ class Trainer:
             if every and (i + 1) % every == 0:
                 self.save_step(state, epoch, i + 1)
         avg = {k: v / max(n, 1) for k, v in tot.items()}
+        avg["batches"] = n
         return state, avg
 
     # -- checkpointing ----------------------------------------------------
@@ -252,8 +253,12 @@ class Trainer:
         t = self.cfg.train
         cadence_ok = (epoch % t.kitti_ckpt_every == 0) if self.is_kitti else True
         if cadence_ok or final:
+            # "batches" records how many batches the averages cover — after
+            # a mid-epoch resume the epoch averages span only the replayed
+            # tail (0 if the crash hit after the epoch's last step save)
             meta = {"loss": avg.get("loss"), "epe_err": avg.get("epe"),
-                    "accu3": avg.get("accu3")}
+                    "accu3": avg.get("accu3"),
+                    "batches": avg.get("batches")}
             if t.async_ckpt:
                 if self._async_ckpt is None:
                     self._async_ckpt = ckpt.AsyncCheckpointer()

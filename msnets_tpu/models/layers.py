@@ -1287,7 +1287,11 @@ class SubpixelSoftArgminHead(nn.Module):
         ar2 = jnp.arange(2, dtype=jnp.float32)
         w = (4.0 * jnp.arange(Db, dtype=jnp.float32)[:, None, None]
              + ar2[None, :, None] + 2.0 * ar2[None, None, :])  # [Db, pz, qd]
-        # numerator and denominator in ONE pass over e (stacked weight)
+        # numerator and denominator in ONE pass over e (stacked weight).
+        # A broadcast-multiply + reduce form (fusing exp into the pass so e
+        # never materializes) benchmarked FLAT vs this einsum at bench
+        # shapes (44.6-45.2 pairs/s both, ABAB) — XLA already keeps this
+        # off the critical path, so the simpler einsum stays.
         w2 = jnp.stack([w, jnp.ones_like(w)], axis=-1)
         nd = jnp.einsum("nahwzyxdef,azdk->nhwyxefk", e, w2)
         disp = nd[..., 0] / nd[..., 1]        # [N, Hb, Wb, ph, pw, qh, qw]
@@ -1368,6 +1372,8 @@ class SubpixelSoftArgminHead(nn.Module):
         ar2 = jnp.arange(2, dtype=jnp.float32)
         w = (4.0 * jnp.arange(Db, dtype=jnp.float32)[:, None, None]
              + ar2[None, :, None] + 2.0 * ar2[None, None, :])
+        # one-pass num/den einsum (a fused reduce form measured FLAT here
+        # too — see _packed)
         w2 = jnp.stack([w, jnp.ones_like(w)], axis=-1)
         nd = jnp.einsum("nahwuzyxdef,azdk->nhwuyxefk", e, w2)
         disp = nd[..., 0] / nd[..., 1]  # [N, Hb, W'b, u, ph, pw, qh, qw]

@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import queue
 import threading
-import time
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -102,6 +101,7 @@ class StereoServer:
         self.mesh = mesh
         self.depth = max(1, depth)
         self._lock = threading.Lock()
+        self._build_locks: Dict[Tuple[int, int], threading.Lock] = {}
         self._fns: Dict[Tuple[int, int], object] = {}
         self._stats = {"frames": 0, "compiles": 0, "bucket_hits": {}}
 
@@ -162,18 +162,24 @@ class StereoServer:
         fn = jax.jit(fwd)
         # AOT-compile now so the first request doesn't pay it
         dummy = jnp.zeros(bucket, jnp.uint8)
-        fn = fn.lower(self.variables, dummy, dummy).compile()
-        self._stats["compiles"] += 1
-        return fn
+        return fn.lower(self.variables, dummy, dummy).compile()
 
     def _fn_for(self, bucket: Tuple[int, int]):
+        # per-bucket build lock: concurrent predict() calls for the same
+        # uncached shape must not each pay the 20-40 s compile
         with self._lock:
             fn = self._fns.get(bucket)
-        if fn is None:
-            fn = self._build(bucket)
+            if fn is not None:
+                return fn
+            bl = self._build_locks.setdefault(bucket, threading.Lock())
+        with bl:
             with self._lock:
-                self._fns.setdefault(bucket, fn)
-                fn = self._fns[bucket]
+                fn = self._fns.get(bucket)
+            if fn is None:
+                fn = self._build(bucket)
+                with self._lock:
+                    self._fns[bucket] = fn
+                    self._stats["compiles"] += 1
         return fn
 
     def warmup(self, shapes: Sequence[Tuple[int, int]] = ()) -> None:
@@ -227,6 +233,10 @@ class StereoServer:
         DONE = object()
 
         def fetcher():
+            # The fetcher NEVER stops draining q on an item error — a
+            # per-item exception becomes that item's result and the loop
+            # continues. If it returned instead, a producer parked inside
+            # the blocking q.put would deadlock with no consumer left.
             while True:
                 item = q.get()
                 if item is DONE:
@@ -236,7 +246,6 @@ class StereoServer:
                     results.put(self._fetch(*item))
                 except Exception as e:                # surface to consumer
                     results.put(e)
-                    return
 
         t = threading.Thread(target=fetcher, daemon=True)
         t.start()
@@ -257,12 +266,18 @@ class StereoServer:
                 while pending > self.depth and not results.empty():
                     yield drain_one()
                     pending -= 1
-            q.put(DONE)
             while pending:
                 yield drain_one()
                 pending -= 1
         finally:
-            results.queue.clear()
+            # always runs — normal end, consumer error, OR the consumer
+            # abandoning the generator (GeneratorExit): shut the fetcher
+            # down and drain stragglers so no thread or in-flight device
+            # buffer outlives the stream.
+            q.put(DONE)
+            while results.get() is not DONE:
+                pass
+            t.join()
 
     # -- introspection ----------------------------------------------------
 
@@ -274,16 +289,5 @@ class StereoServer:
         return s
 
 
-def benchmark_server(server: StereoServer, n: int = 32,
-                     shape: Tuple[int, int] = (375, 1242)) -> Dict:
-    """Sustained-throughput probe: n identical frames through the
-    pipelined path; returns frames/sec wall (includes host + relay)."""
-    rng = np.random.default_rng(0)
-    iml = rng.integers(0, 256, shape, dtype=np.uint8)
-    imr = rng.integers(0, 256, shape, dtype=np.uint8)
-    server.predict(iml, imr)                          # warm bucket
-    t0 = time.perf_counter()
-    for _ in server.predict_stream((iml, imr) for _ in range(n)):
-        pass
-    dt = time.perf_counter() - t0
-    return {"frames": n, "wall_s": dt, "fps": n / dt}
+# (throughput probing lives in scripts/perf_serve.py, which also A/Bs the
+# blocking path against the pipelined one)

@@ -676,3 +676,20 @@ def test_models_16ch_lr_features(name):
     y = model.apply(v, x, train=False)
     assert y.shape == (1, 2 * f.shape[1], 2 * f.shape[2])
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_psmnet_packed_eval_outer_matches_full():
+    """The default EVAL graph keeps the outer graph packed-std
+    (packed_eval_outer=True); it must match the full-layout eval graph
+    (same params) — guards the folded-BN packed deconvs, packed skip adds
+    and packed classifiers that default serving now runs through."""
+    rng = np.random.default_rng(13)
+    cv = jnp.asarray(rng.standard_normal((1, 8, 8, 16, 8)), jnp.float32)
+    mp = MSPSMNet(max_disp=16, dtype=jnp.float32, packed_eval_outer=True)
+    mf = MSPSMNet(max_disp=16, dtype=jnp.float32, packed_eval_outer=False)
+    v = mp.init(jax.random.PRNGKey(0), cv, False)
+    dp = mp.apply(v, cv, False)
+    df = mf.apply(v, cv, False)
+    assert dp.shape == df.shape == (1, 16, 32)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(df),
+                               rtol=5e-3, atol=5e-3)
