@@ -134,6 +134,11 @@ def make_train_sample(limg: str, rimg: str, ldisp: str,
                       left_only: bool = True) -> TrainSample:
     """Read + crop one training pair (generate_crop_train_cbmv semantics,
     minus the feature stage which runs on device)."""
+    # each file is decoded twice (gray + RGB) ON PURPOSE: the reference
+    # does exactly this (cbmv_generator.py:610-613), and cv2.imread(p, 0)'s
+    # decoder-level grayscale is not bit-identical to cvtColor of the BGR
+    # decode — deriving gray from the RGB read would break matcher parity.
+    # The prefetch threads hide the extra decode.
     iml = read_gray(limg)
     imr = read_gray(rimg)
     iml_rgb = read_rgb(limg)
@@ -207,9 +212,13 @@ class TrainPipeline:
     carry uint8 image crops; the jitted train step computes features
     on device.
 
-    Sharding: with (num_hosts, host_id) each host takes entries
-    ``perm[host_id::num_hosts]`` of the epoch permutation — full coverage
-    (the reference's contiguous split drops N mod workers files,
+    Sharding: with (num_hosts, host_id) each host takes the first
+    ``len(entries) // num_hosts`` entries of ``perm[host_id::num_hosts]`` —
+    equal shard length on every host (required: all hosts must enter the
+    same number of jitted steps or the mesh collectives hang), with the
+    per-epoch permutation rotating which remainder entries drop, so all
+    files are covered within a few epochs (the reference's contiguous
+    split drops the SAME N mod workers files every epoch,
     dataset.py:349-357).
     """
 
@@ -253,27 +262,63 @@ class TrainPipeline:
         do_main_msnet.sh:143-192)."""
         perm_rng = np.random.default_rng((self.seed, epoch))
         perm = perm_rng.permutation(len(self.entries))
-        shard = perm[self.host_id::self.num_hosts]
+        # equal shard length on every host (len // num_hosts): with uneven
+        # strided shards one host would run extra jitted steps the others
+        # never enter — on a real multi-process mesh the collectives of
+        # that step block forever. Coverage across epochs is preserved by
+        # the per-epoch permutation (different entries drop each epoch).
+        per_host = len(self.entries) // max(self.num_hosts, 1)
+        shard = perm[self.host_id::self.num_hosts][:per_host]
         self._epoch_entries = [self.entries[i] for i in shard]
         n_batches = len(self._epoch_entries) // self.batch_size
-        indices = list(range(start_batch * self.batch_size,
-                             n_batches * self.batch_size))
+        indices = range(start_batch * self.batch_size,
+                        n_batches * self.batch_size)
 
+        from collections import OrderedDict
         from concurrent.futures import ThreadPoolExecutor
+        # bounded look-ahead: an epoch of Scene Flow is ~35k samples x
+        # ~4 MB — submitting everything up front (and keeping consumed
+        # futures alive) would grow host RSS toward 140 GB. The window
+        # keeps at most `ahead` loads in flight / cached, and consumed
+        # futures are popped so their samples free immediately.
+        ahead = max(self.num_threads * 2, self.batch_size * 2)
         with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
-            futures = {i: ex.submit(self._load, epoch, i) for i in indices}
+            futures: "OrderedDict[int, object]" = OrderedDict()
+            it = iter(indices)
+
+            def top_up():
+                while len(futures) < ahead:
+                    i = next(it, None)
+                    if i is None:
+                        return
+                    futures[i] = ex.submit(self._load, epoch, i)
+
+            top_up()
             for b in range(start_batch, n_batches):
-                samples = [futures[b * self.batch_size + j].result()
+                samples = [futures.pop(b * self.batch_size + j).result()
                            for j in range(self.batch_size)]
+                top_up()
+                g0 = (samples[0].board_h, samples[0].board_w_left,
+                      samples[0].board_w_right)
+                for s in samples[1:]:
+                    g = (s.board_h, s.board_w_left, s.board_w_right)
+                    # crop_position halves margins for narrow images
+                    # (ETH3D); a batch mixing margin geometries cannot be
+                    # stacked, and silently using samples[0]'s boards would
+                    # mis-trim the others' features on device — fail loudly
+                    assert g == g0, (
+                        f"mixed margin geometry in one batch: {g} != {g0} "
+                        f"(narrow images halve margins; use batch_size=1 or "
+                        f"a single-geometry dataset)")
                 yield {
                     "iml": np.stack([s.iml for s in samples]),
                     "imr": np.stack([s.imr for s in samples]),
                     "disp": np.stack([s.disp for s in samples]),
                     "left_rgb": np.stack([s.left_rgb for s in samples]),
                     "right_rgb": np.stack([s.right_rgb for s in samples]),
-                    "board_h": samples[0].board_h,
-                    "board_w_left": samples[0].board_w_left,
-                    "board_w_right": samples[0].board_w_right,
+                    "board_h": g0[0],
+                    "board_w_left": g0[1],
+                    "board_w_right": g0[2],
                 }
 
 

@@ -63,7 +63,12 @@ def resolve(dataset: str, data_path: str, entry: str, cleanpass: bool = False):
         return resolve_eth3d(data_path, entry)
     if dataset == "middlebury":
         return resolve_middlebury(data_path, entry)
-    return resolve_sceneflow(data_path, entry, cleanpass)
+    if dataset == "sceneflow":
+        return resolve_sceneflow(data_path, entry, cleanpass)
+    # an unknown name applied Scene Flow path surgery to foreign entries
+    # and surfaced as a baffling FileNotFoundError in a worker thread
+    raise ValueError(f"unknown dataset {dataset!r}; expected sceneflow|"
+                     "kitti2012|kitti2015|eth3d|middlebury")
 
 
 def result_name(dataset: str, entry: str, iteration: int) -> str:

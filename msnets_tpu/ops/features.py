@@ -90,6 +90,12 @@ def downsample_half_np(img: np.ndarray) -> np.ndarray:
     ow = int(np.round(W * 0.5))
     x = img.astype(np.float64) / 255.0
     x = ndi.gaussian_filter(x, 0.5, mode="constant")
+    # zero-pad odd dims to 2*oh/2*ow like the device twin (skimage's
+    # cval=0 out-of-range handling); without this, dims ≡ 3 (mod 4) —
+    # e.g. KITTI's H=375 — produce mismatched strided slices and crash
+    ph, pw = max(0, 2 * oh - H), max(0, 2 * ow - W)
+    if ph or pw:
+        x = np.pad(x, ((0, ph), (0, pw)))
     x = (x[0:2 * oh:2, 0:2 * ow:2] + x[0:2 * oh:2, 1:2 * ow:2]
          + x[1:2 * oh:2, 0:2 * ow:2] + x[1:2 * oh:2, 1:2 * ow:2]) * 0.25
     return (x * 255.0).astype(np.uint8)
@@ -154,16 +160,18 @@ def assemble_features_left(c_cen, c_ncc, c_sob, c_sad, cfg: MatchingConfig,
     return jnp.transpose(f, (2, 0, 1, 3))                   # [D, H, W, 8]
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def assemble_features_lr(c_cen, c_ncc, c_sob, c_sad, cfg: MatchingConfig):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def assemble_features_lr(c_cen, c_ncc, c_sob, c_sad, cfg: MatchingConfig,
+                         out_dtype=jnp.float32):
     """16-channel variant (left + right view), layout [D, H, W, 16].
 
     Right-view costs are re-indexed from the left volumes via
     R[i,j,d] = L[i,j+d,d] (extract_features_lr, cbmv_generator.py:84-254).
     """
-    fl = _normalize_stack(c_cen, c_ncc, c_sob, c_sad, cfg)
+    fl = _normalize_stack(c_cen, c_ncc, c_sob, c_sad, cfg, out_dtype)
     fr = _normalize_stack(M.get_right_cost(c_cen), M.get_right_cost(c_ncc),
-                          M.get_right_cost(c_sob), M.get_right_cost(c_sad), cfg)
+                          M.get_right_cost(c_sob), M.get_right_cost(c_sad),
+                          cfg, out_dtype)
     f = jnp.concatenate([fl, fr], axis=-1)                  # [H, W, D, 16]
     return jnp.transpose(f, (2, 0, 1, 3))
 
@@ -193,7 +201,7 @@ def ms_features(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
                           cfg.sobelw, board_h, board_w_left, board_w_right)
     if left_only:
         return assemble_features_left(*costs, cfg, out_dtype)
-    return assemble_features_lr(*costs, cfg)
+    return assemble_features_lr(*costs, cfg, out_dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))

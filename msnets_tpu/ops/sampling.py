@@ -27,11 +27,21 @@ def generate_d_indices(gt: np.ndarray, maxd: int, disp_thresh: int,
     out[:, 0] = gt
     low_ok = gt - disp_thresh > 0
     high_ok = gt + disp_thresh < maxd
-    lo_draw = (rng.random(n) * np.maximum(gt - disp_thresh, 1)).astype(np.int64)
+    # each negative is an INDEPENDENT draw, even when both fall back to the
+    # same side (the reference calls rand() separately per negative,
+    # featextract.cpp:213-225 — a shared draw would emit duplicated
+    # negatives for every low-gt pixel). The high-side span maxd-(gt+t+1)
+    # never yields maxd itself — reference parity (rand % span + gt+t+1
+    # tops out at maxd-1); the max(.., 1) clamp only avoids the reference's
+    # rand%0 UB at gt+t == maxd-1.
+    lo_span = np.maximum(gt - disp_thresh, 1)
     hi_span = np.maximum(maxd - (gt + disp_thresh + 1), 1)
-    hi_draw = (rng.random(n) * hi_span).astype(np.int64) + gt + disp_thresh + 1
-    out[:, 1] = np.where(low_ok, lo_draw, hi_draw)
-    out[:, 2] = np.where(high_ok, hi_draw, lo_draw)
+    lo1 = (rng.random(n) * lo_span).astype(np.int64)
+    lo2 = (rng.random(n) * lo_span).astype(np.int64)
+    hi1 = (rng.random(n) * hi_span).astype(np.int64) + gt + disp_thresh + 1
+    hi2 = (rng.random(n) * hi_span).astype(np.int64) + gt + disp_thresh + 1
+    out[:, 1] = np.where(low_ok, lo1, hi1)
+    out[:, 2] = np.where(high_ok, hi2, lo2)
     return out
 
 

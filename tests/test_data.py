@@ -138,14 +138,30 @@ def test_train_pipeline_end_to_end(tmp_path):
     assert not np.array_equal(b["iml"], other[0]["iml"])
 
 
-def test_host_sharding_covers_all(tmp_path):
+def test_host_sharding_equal_and_covers_across_epochs(tmp_path):
+    """Per-host shards must be EQUAL length (uneven shards would leave one
+    host running jitted steps whose collectives the others never enter),
+    and the per-epoch permutation rotates which remainder entries drop, so
+    a few epochs cover everything (the reference's contiguous split drops
+    the SAME N mod workers files every epoch, dataset.py:349-357)."""
     lst = _write_synthetic_sf_tree(tmp_path, n=5)
     dc = DataConfig(data_path=str(tmp_path), training_list=lst)
     mc = MatchingConfig(board_h=4)
-    seen = []
-    for host in range(2):
-        pipe = P.TrainPipeline(dc, mc, 32, 64, 16, batch_size=1, seed=7,
-                               num_threads=1, num_hosts=2, host_id=host)
-        list(pipe.epoch(0))
-        seen.extend(pipe._epoch_entries)
-    assert len(set(seen)) == 5  # full coverage, no dropped remainder
+    pipes = [P.TrainPipeline(dc, mc, 32, 64, 16, batch_size=1, seed=7,
+                             num_threads=1, num_hosts=2, host_id=h)
+             for h in range(2)]
+    seen = set()
+    for epoch in range(4):
+        counts = []
+        for pipe in pipes:
+            counts.append(len(list(pipe.epoch(epoch))))
+            seen.update(pipe._epoch_entries)
+        assert counts[0] == counts[1] == pipes[0].steps_per_epoch()
+    assert len(seen) == 5  # rotation covers every entry within a few epochs
+
+
+def test_resolve_rejects_unknown_dataset():
+    import pytest
+    from msnets_tpu.data import resolvers as R
+    with pytest.raises(ValueError, match="unknown dataset"):
+        R.resolve("kitti-2015", "/data", "foo.png")

@@ -16,7 +16,9 @@ def pair():
             rng.integers(0, 256, (H, W), dtype=np.uint8))
 
 
-@pytest.mark.parametrize("shape", [(36, 52), (37, 53), (64, 128)])
+@pytest.mark.parametrize("shape", [(36, 52), (37, 53), (64, 128),
+                                   (375, 1242), (7, 11)])  # dims ≡ 3 (mod 4):
+                                   # KITTI-native H; host twin must zero-pad like the device
 def test_downsample_half_matches_host(shape):
     rng = np.random.default_rng(11)
     img = rng.integers(0, 256, shape, dtype=np.uint8)
@@ -58,6 +60,10 @@ def test_feature_lr_16ch(pair):
     # left half must equal the left-only features
     fl = np.asarray(F.ms_features(jnp.asarray(iml), jnp.asarray(imr), 8, cfg, 5, 6))
     np.testing.assert_array_equal(f[..., :8], fl)
+    # out_dtype is honored on the L+R path too (it was silently dropped)
+    fb = F.ms_features(jnp.asarray(iml), jnp.asarray(imr), 8, cfg,
+                       5, 6, 0, False, jnp.bfloat16)
+    assert fb.dtype == jnp.bfloat16 and fb.shape[-1] == 16
 
 
 def test_train_feature_stage_shapes(pair):

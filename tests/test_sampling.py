@@ -55,3 +55,16 @@ def test_dataloader_len(tmp_path):
     f = tmp_path / "l.list"
     f.write_text("a\nb\nc\nd\ne\n")
     assert V.dataloader_len(str(f), 2) == 2
+
+
+def test_generate_d_indices_fallback_negatives_independent():
+    """When both negatives fall back to the same side (gt near 0 or maxd),
+    they must still be INDEPENDENT draws (featextract.cpp calls rand()
+    separately per negative) — a shared draw duplicates every low-gt
+    pixel's negatives."""
+    rng = np.random.default_rng(1)
+    gt = np.zeros(400, np.int64)          # low side impossible: both go high
+    tri = S.generate_d_indices(gt, maxd=64, disp_thresh=4, rng=rng)
+    assert (tri[:, 1] >= 5).all() and (tri[:, 2] >= 5).all()
+    frac_equal = (tri[:, 1] == tri[:, 2]).mean()
+    assert frac_equal < 0.2, frac_equal   # ~1/59 if independent; 1.0 if shared
