@@ -86,6 +86,13 @@ def build_parser() -> argparse.ArgumentParser:
                         " Coverage is shape-gated: packed stride-1 lowerings"
                         " and stride-2 convs above conv3d_ndhwc's >=1M-voxel"
                         " even-dims gate; small/memory-bound convs stay bf16")
+    p.add_argument("--quant_mode", type=str, default="dynamic",
+                   choices=["dynamic", "static"],
+                   help="activation-scale regime for --quant_eval: 'dynamic'"
+                        " = per-sample max-abs pass; 'static' = fixed"
+                        " per-layer scales from a one-shot calibration"
+                        " forward on the first frame (no max pass; ~3%% "
+                        "faster, out-of-range values saturate at +-127)")
     # None -> model-dependent default in args_to_config (MS-PSMNet needs
     # remat at the reference recipe: 24.3G > 15.75G HBM without it)
     p.set_defaults(remat=None)
@@ -102,7 +109,8 @@ def args_to_config(a) -> Config:
         model=ModelConfig(name=a.model_name, max_disp=a.max_disp,
                           in_channels=a.cbmv_F,
                           compute_dtype=a.compute_dtype,
-                          quant_eval=bool(a.quant_eval)),
+                          quant_eval=bool(a.quant_eval),
+                          quant_mode=a.quant_mode),
         train=TrainConfig(crop_height=a.crop_height, crop_width=a.crop_width,
                           batch_size=a.batchSize, lr=a.lr,
                           epochs=a.nEpochs, start_epoch=a.startEpoch,

@@ -80,6 +80,16 @@ class ModelConfig:
     # memory-bound convs (gcnet blocks 2-4, hourglass inner convs at bench
     # shapes) deliberately stay bf16.
     quant_eval: bool = False
+    # activation-scale regime for quant_eval:
+    #   "dynamic" — per-SAMPLE scale from a max-abs pass over each quantized
+    #               conv's input (no calibration needed, but the extra HBM
+    #               pass made int8 LOSE to bf16 at bench shapes, PERF.md);
+    #   "static"  — fixed per-layer scalar scales read from the quant_stats
+    #               collection (recorded by one "calib" forward); the int8
+    #               cast fuses into the producer, no max pass;
+    #   "calib"   — bf16 compute, records each quantized conv's input absmax
+    #               into quant_stats (mutable=["quant_stats"]).
+    quant_mode: str = "dynamic"
     # MS-PSMNet only: keep the full-res outer graph (hourglass outputs,
     # skip adds, classifiers) in packed-std layout in eval too (train
     # always does) — full-layout c32 volumes pay 4x lane-padded HBM

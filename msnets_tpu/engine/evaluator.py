@@ -45,11 +45,39 @@ class Evaluator:
         self.model = build_model(cfg.model)
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}
+        if "quant_stats" in variables:
+            self.variables["quant_stats"] = variables["quant_stats"]
         self.mesh = mesh
         self._fwd_cache = {}
+        # static int8 activation scales need a one-time calibration pass
+        # (records per-layer absmax into the quant_stats collection); run it
+        # lazily on the first frame so checkpoints without quant_stats work.
+        self._needs_calib = (
+            getattr(cfg.model, "quant_eval", False)
+            and getattr(cfg.model, "quant_mode", "dynamic") == "static"
+            and "quant_stats" not in self.variables)
+
+    def _calibrate(self, iml: np.ndarray, imr: np.ndarray):
+        """One forward in quant_mode='calib' (bf16 compute) to record each
+        quantized conv's input absmax; the static model then quantizes with
+        those fixed scalars — no per-input max pass (PERF.md int8 verdict)."""
+        import dataclasses
+        calib_cfg = dataclasses.replace(self.cfg.model, quant_mode="calib")
+        calib_model = build_model(calib_cfg)
+        mcfg = self.cfg.matching
+        f = ms_features_test(jnp.asarray(iml), jnp.asarray(imr),
+                             self.cfg.model.max_disp, mcfg, mcfg.left_only,
+                             jnp.bfloat16 if self.cfg.model.compute_dtype
+                             == "bfloat16" else jnp.float32)[None]
+        _, qs = calib_model.apply(self.variables, f, train=False,
+                                  mutable=["quant_stats"])
+        self.variables = dict(self.variables, **qs)
+        self._needs_calib = False
 
     def _forward(self, iml: np.ndarray, imr: np.ndarray) -> np.ndarray:
         """Full device path: features + model, jitted per input shape."""
+        if self._needs_calib:
+            self._calibrate(iml, imr)
         shape = iml.shape
         if shape not in self._fwd_cache:
             mcfg = self.cfg.matching

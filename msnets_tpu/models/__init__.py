@@ -17,12 +17,14 @@ def build_model(model_cfg, remat: bool = False):
                        mid_deconv_mode_train=getattr(
                            model_cfg, "mid_deconv_mode_train", "conv_shuffle"),
                        quant_eval=getattr(model_cfg, "quant_eval", False),
+                       quant_mode=getattr(model_cfg, "quant_mode", "dynamic"),
                        dtype=dtype, remat=remat)
     if model_cfg.name == "MS-PSMNet":
         return MSPSMNet(max_disp=model_cfg.max_disp,
                         in_channels=model_cfg.in_channels,
                         upscale=4 if model_cfg.quarter_input else 2,
                         quant_eval=getattr(model_cfg, "quant_eval", False),
+                        quant_mode=getattr(model_cfg, "quant_mode", "dynamic"),
                         packed_eval_outer=getattr(model_cfg,
                                                   "packed_eval_outer", True),
                         dtype=dtype, remat=remat)

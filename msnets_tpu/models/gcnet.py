@@ -44,6 +44,9 @@ class MSGCNet(nn.Module):
                                     # (s8xs8->s32 MXU, 2.6x on stem shapes;
                                     # scripts/perf_quant_eval.py for the
                                     # accuracy/throughput A/B)
+    quant_mode: str = "dynamic"     # "dynamic" | "static" | "calib"
+                                    # (see ModelConfig.quant_mode; static
+                                    # needs one calib forward first)
 
     @nn.compact
     def __call__(self, cv, train: bool = False, stop_at: str = ""):
@@ -57,6 +60,7 @@ class MSGCNet(nn.Module):
         F = self.num_filters
         dt = self.dtype
         q = self.quant_eval and not train
+        qm = self.quant_mode
         x = cv.astype(dt)
 
         # remat every BN'd stage: BatchNorm keeps float32 intermediates whose
@@ -89,14 +93,15 @@ class MSGCNet(nn.Module):
             # not MXU-rate-bound); conv2's [2,2,128,128] taps win 1.85x.
             x1 = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(
                 x, train, "full", "shift"))
-            x2 = nn.relu(convbn(F, 1, dtype=dt, quant=q, name="conv3dbn_2")(
+            x2 = nn.relu(convbn(F, 1, dtype=dt, quant=q, quant_mode=qm,
+                                 name="conv3dbn_2")(
                 x1, train, "shift", "std"))
             res_l20, res_l20p = None, x2      # stays packed; see decoder tail
             if self.quarter_input:            # x4 tail can't consume packed
                 res_l20, res_l20p = hw_unpack(x2), None
             if stop_at == "stem":
                 return x2
-            x = block(2 * F, 2, dtype=dt, quant=q, name="block_3d_1")(x2, train, "std")
+            x = block(2 * F, 2, dtype=dt, quant=q, quant_mode=qm, name="block_3d_1")(x2, train, "std")
         else:
             x = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(
                 x, train, "full", "full"))
@@ -105,19 +110,19 @@ class MSGCNet(nn.Module):
             res_l20 = x
             if stop_at == "stem":
                 return x
-            x = block(2 * F, 2, dtype=dt, quant=q, name="block_3d_1")(x, train, "full")
+            x = block(2 * F, 2, dtype=dt, quant=q, quant_mode=qm, name="block_3d_1")(x, train, "full")
         if stop_at == "block1":
             return x
         res_l23 = x
-        x = block(2 * F, 2, dtype=dt, quant=q, name="block_3d_2")(x, train, "full")
+        x = block(2 * F, 2, dtype=dt, quant=q, quant_mode=qm, name="block_3d_2")(x, train, "full")
         if stop_at == "block2":
             return x
         res_l26 = x
-        x = block(2 * F, 2, dtype=dt, quant=q, name="block_3d_3")(x, train, "full")
+        x = block(2 * F, 2, dtype=dt, quant=q, quant_mode=qm, name="block_3d_3")(x, train, "full")
         if stop_at == "block3":
             return x
         res_l29 = x
-        x = block(4 * F, 2, dtype=dt, quant=q, name="block_3d_4")(x, train, "full")
+        x = block(4 * F, 2, dtype=dt, quant=q, quant_mode=qm, name="block_3d_4")(x, train, "full")
         if stop_at == "block4":
             return x
 

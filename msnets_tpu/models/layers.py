@@ -53,24 +53,32 @@ def he_normal_msnets(kernel_spatial: int = 3):
 _S2_HW_S2D_MIN_VOXELS = 1_000_000
 
 
-def _quant_act(x):
-    """Symmetric PER-SAMPLE int8 quantization of an activation tensor.
+def _quant_act(x, scale=None):
+    """Symmetric int8 quantization of an activation tensor.
 
     Returns (int8 tensor, f32 scale broadcastable against x). v5e's MXU
     runs s8 x s8 -> s32 at 2x the bf16 rate (measured 2.6x on the stem
-    conv shapes, scripts/perf_int8_conv.py); the one extra max-abs pass
-    over the activation is bandwidth-cheap next to the conv it feeds.
-    The scale reduces over every axis EXCEPT the leading batch axis, so
-    eval outputs for one image never depend on another image in the same
-    batch (an outlier sample would otherwise degrade the whole batch's
-    quantization resolution). All depth taps of one sample share its
-    scale, so cross-tap int32 partial sums still accumulate exactly."""
+    conv shapes, scripts/perf_int8_conv.py).
+
+    ``scale=None`` (dynamic): PER-SAMPLE scale from a max-abs pass, reducing
+    over every axis EXCEPT the leading batch axis, so eval outputs for one
+    image never depend on another image in the same batch. The extra pass
+    costs a full HBM read of the volume per quantized conv — enough to make
+    int8 lose to bf16 at bench shapes (PERF.md).
+
+    ``scale`` given (static): a fixed per-layer scalar recorded by a
+    calibration forward (ConvBN3D quant_mode="calib"); the round/clip/cast
+    is then a pure elementwise op XLA fuses into the producer — no max
+    pass. Out-of-calibration-range values saturate at +-127 (standard
+    absmax post-training quantization). Either way all depth taps share
+    one scale, so cross-tap int32 partial sums accumulate exactly."""
     xf = x.astype(jnp.float32)
-    axes = tuple(range(1, xf.ndim))
-    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=axes, keepdims=True),
-                     1e-12) / 127.0
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    return xq, sx
+    if scale is None:
+        axes = tuple(range(1, xf.ndim))
+        scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=axes, keepdims=True),
+                            1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
 
 
 def _quant_kernels(ks):
@@ -92,7 +100,7 @@ def _quant_kernels(ks):
 
 def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                  pad: int, dtype, decompose: bool = True,
-                 quantized: bool = False) -> jnp.ndarray:
+                 quantized: bool = False, act_scale=None) -> jnp.ndarray:
     """3-D convolution, NDHWC x DHWIO.
 
     ``decompose=True`` (default) lowers *stride-1* convs to kd batched 2-D
@@ -111,7 +119,8 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
             and x.shape[3] % 2 == 0
             and x.shape[1] * x.shape[2] * x.shape[3] >= _S2_HW_S2D_MIN_VOXELS):
-        return conv3d_s2_hw_s2d(x, kernel, dtype, quantized=quantized)
+        return conv3d_s2_hw_s2d(x, kernel, dtype, quantized=quantized,
+                                act_scale=act_scale)
     if stride != 1:
         decompose = False
     if not decompose:
@@ -158,7 +167,7 @@ def _hw_block_kernel(kernel: jnp.ndarray, kz: int, dtype) -> jnp.ndarray:
 
 def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
                      dtype, packed_input: bool = False,
-                     quantized: bool = False) -> jnp.ndarray:
+                     quantized: bool = False, act_scale=None) -> jnp.ndarray:
     """k=3, stride-2, pad-1 conv3d via H,W space-to-depth + D-parity split.
 
     XLA's native stride-2 conv3d is the encoder's worst MXU shape (~6-7
@@ -190,7 +199,7 @@ def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
     k2s = [_hw_block_kernel(kernel, kz, jnp.float32 if quantized else dtype)
            for kz in (1, 2, 0)]
     if quantized:
-        xs, sx = _quant_act(xs)
+        xs, sx = _quant_act(xs, act_scale)
         k2s, sk = _quant_kernels(k2s)
     else:
         xs = xs.astype(dtype)
@@ -271,8 +280,8 @@ def _s1_packed_kernel(k2d: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def conv3d_s1_hw_packed(xp: jnp.ndarray, kernel: jnp.ndarray, dtype,
-                        to_shifted: bool,
-                        quantized: bool = False) -> jnp.ndarray:
+                        to_shifted: bool, quantized: bool = False,
+                        act_scale=None) -> jnp.ndarray:
     """k=3, stride-1, pad-1 conv3d computed entirely in H,W space-to-depth
     packed layout (see `hw_pack`).
 
@@ -292,7 +301,7 @@ def conv3d_s1_hw_packed(xp: jnp.ndarray, kernel: jnp.ndarray, dtype,
                              jnp.float32 if quantized else dtype)
            for dz in range(3)]
     if quantized:
-        xp, sx = _quant_act(xp)
+        xp, sx = _quant_act(xp, act_scale)
         k2s, sk = _quant_kernels(k2s)
     else:
         xp = xp.astype(dtype)
@@ -335,8 +344,8 @@ def _s1_w_packed_kernel(k2d: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def conv3d_s1_w_packed(xw: jnp.ndarray, kernel: jnp.ndarray, dtype,
-                       to_shifted: bool,
-                       quantized: bool = False) -> jnp.ndarray:
+                       to_shifted: bool, quantized: bool = False,
+                       act_scale=None) -> jnp.ndarray:
     """k=3, stride-1, pad-1 conv3d in W-only space-to-depth layout
     [N, D, H, Wb, 2C] (channel order (qw, c)).
 
@@ -354,7 +363,7 @@ def conv3d_s1_w_packed(xw: jnp.ndarray, kernel: jnp.ndarray, dtype,
                                jnp.float32 if quantized else dtype)
            for dz in range(3)]
     if quantized:
-        xw, sx = _quant_act(xw)
+        xw, sx = _quant_act(xw, act_scale)
         k2s, sk = _quant_kernels(k2s)
     else:
         xw = xw.astype(dtype)
@@ -397,8 +406,8 @@ def zero_w_halo(y: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
-                             to_shifted: bool,
-                             quantized: bool = False) -> jnp.ndarray:
+                             to_shifted: bool, quantized: bool = False,
+                             act_scale=None) -> jnp.ndarray:
     """k=3, stride-1, pad-1 conv3d reading FULL-res input and writing packed
     H,W space-to-depth output — the entry point into the packed world.
 
@@ -427,7 +436,7 @@ def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
                jnp.float32 if quantized else dtype)
            for dz in range(3)]
     if quantized:
-        x, sx = _quant_act(x)
+        x, sx = _quant_act(x, act_scale)
         k4s, sk = _quant_kernels(k4s)
     else:
         x = x.astype(dtype)
@@ -612,6 +621,14 @@ class ConvBN3D(nn.Module):
                           # hourglass inner convs at bench shapes) stay
                           # bf16 because int8 doesn't pay there
                           # (memory-bound, scripts/perf_int8_conv.py).
+    quant_mode: str = "dynamic"  # activation-scale regime when quant:
+                          # "dynamic" per-sample max-abs pass;
+                          # "calib"   bf16 compute + record input absmax
+                          #           into quant_stats/act_amax (requires
+                          #           mutable=["quant_stats"]);
+                          # "static"  fixed scalar scale from quant_stats
+                          #           (no max pass; the int8 cast fuses
+                          #           into the producer). See ModelConfig.
 
     @nn.compact
     def __call__(self, x, train: bool, lin: str = "full", lout: str = "full"):
@@ -644,8 +661,24 @@ class ConvBN3D(nn.Module):
             x = pmesh.constrain_volume(x)
             return bn(x.astype(jnp.float32)).astype(self.dtype)
         a, b = _bn_affine(bn, self.features)
+        quant_run, ascale = self.quant, None
+        if self.quant and self.quant_mode != "dynamic":
+            # static/calib int8: one scalar scale per layer. The quantized
+            # tensor inside every lowering is a reshape/zero-pad of x, so
+            # max|x| over the module input is exactly the lowering input's
+            # absmax regardless of layout.
+            amax = self.variable("quant_stats", "act_amax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            if self.quant_mode == "calib":
+                quant_run = False        # record stats, compute in bf16
+                if not self.is_initializing():
+                    amax.value = jnp.maximum(
+                        amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            else:
+                assert self.quant_mode == "static", self.quant_mode
+                ascale = jnp.maximum(amax.value, 1e-12) / 127.0
         kf = kernel.astype(jnp.float32) * a
-        if not self.quant:       # quantized lowerings re-scale from f32
+        if not quant_run:        # quantized lowerings re-scale from f32
             kf = kf.astype(self.dtype)
         if (not train) and k == 3 and self.stride == 1 and \
                 (lin == "wshift" or lout == "wshift"):
@@ -653,12 +686,12 @@ class ConvBN3D(nn.Module):
             # boundary, 2x MXU N-util inside (block inner convs, cout 64)
             if lout == "wshift":                  # full -> wshift
                 y = conv3d_s1_w_packed(w_fold(x), kf, self.dtype, True,
-                                       quantized=self.quant)
+                                       quantized=quant_run, act_scale=ascale)
                 y = y + jnp.tile(b, 2).astype(self.dtype)
                 y = zero_w_halo(y)                # caller relus; relu(0)==0
             else:                                 # wshift -> full
                 y = conv3d_s1_w_packed(x, kf, self.dtype, False,
-                                       quantized=self.quant)
+                                       quantized=quant_run, act_scale=ascale)
                 y = w_unfold(y + jnp.tile(b, 2).astype(self.dtype))
             return pmesh.constrain_volume(y)
         packed_out = (not train) and lin == "full" and lout in ("std", "shift")
@@ -666,22 +699,25 @@ class ConvBN3D(nn.Module):
             if packed_out:
                 y = conv3d_s1_full_to_packed(x, kf, self.dtype,
                                              to_shifted=(lout == "shift"),
-                                             quantized=self.quant)
+                                             quantized=quant_run,
+                                             act_scale=ascale)
             else:
                 assert lin != lout, "packed s1 conv alternates std<->shift"
                 y = conv3d_s1_hw_packed(x, kf, self.dtype,
                                         to_shifted=(lout == "shift"),
-                                        quantized=self.quant)
+                                        quantized=quant_run,
+                                        act_scale=ascale)
             y = y + jnp.tile(b, 4).astype(self.dtype)
             if lout == "shift":
                 y = zero_shift_halo(y)   # callers relu after; relu(0) == 0
         elif packed_in and self.stride == 2 and k == 3:
             y = conv3d_s2_hw_s2d(x, kf, self.dtype, packed_input=True,
-                                 quantized=self.quant)
+                                 quantized=quant_run, act_scale=ascale)
             y = y + b.astype(self.dtype)
         else:
             y = conv3d_ndhwc(x, kf, self.stride, k // 2, self.dtype,
-                             quantized=self.quant and self.stride == 2)
+                             quantized=quant_run and self.stride == 2,
+                             act_scale=ascale)
             y = y + b.astype(self.dtype)
         return pmesh.constrain_volume(y)
 
@@ -1076,6 +1112,7 @@ class Conv3DBlock(nn.Module):
     kernel: int = 3
     dtype: Any = jnp.float32
     quant: bool = False
+    quant_mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x, train: bool, lin_first: str = "full"):
@@ -1083,7 +1120,8 @@ class Conv3DBlock(nn.Module):
         # in int8 ([2,2,128,64] taps); the wshift inner convs LOSE (0.69x,
         # scripts/perf_int8_packed.py) so they stay bf16 unconditionally.
         x = nn.relu(ConvBN3D(self.features, self.stride, self.kernel,
-                             self.dtype, self.quant, name="convbn_3d_1")(
+                             self.dtype, self.quant, self.quant_mode,
+                             name="convbn_3d_1")(
                                  x, train, lin_first, "full"))
         # the two stride-1 convs run in W-only packed layout (free
         # fold/unfold, 2x MXU N-util at cout 64); W must be even and >= 4.

@@ -45,6 +45,7 @@ class Hourglass(nn.Module):
     quant: bool = False   # int8 eval of the stride-2 entry convs (their
                           # s2d lowering wins 1.52x, perf_int8_packed.py);
                           # stride-1/deconv stages stay bf16
+    quant_mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x, presqu, postsqu, train: bool,
@@ -56,7 +57,7 @@ class Hourglass(nn.Module):
             cbn = nn.remat(ConvBN3D, static_argnums=(2, 3, 4))
             dbn = nn.remat(DeconvBN3D, static_argnums=(2, 3))
         out = nn.relu(cbn(2 * c, 2, dtype=dt, quant=self.quant,
-                          name="conv1")(x, train, lin_first, "full"))
+                          quant_mode=self.quant_mode, name="conv1")(x, train, lin_first, "full"))
         pre = cbn(2 * c, 1, dtype=dt, name="conv2")(out, train, "full", "full")
         if postsqu is not None:
             pre = nn.relu(pre + postsqu)
@@ -64,7 +65,7 @@ class Hourglass(nn.Module):
             pre = nn.relu(pre)
 
         out = nn.relu(cbn(2 * c, 2, dtype=dt, quant=self.quant,
-                          name="conv3")(pre, train, "full", "full"))
+                          quant_mode=self.quant_mode, name="conv3")(pre, train, "full", "full"))
         out = nn.relu(cbn(2 * c, 1, dtype=dt, name="conv4")(
             out, train, "full", "full"))
 
@@ -127,6 +128,7 @@ class MSPSMNet(nn.Module):
     packed_train: bool = True      # packed dres layouts in train too
                                    # (PackedPhaseBN halo-masked statistics)
     quant_eval: bool = False       # int8 eval of the packed dres convs
+    quant_mode: str = "dynamic"    # see ModelConfig.quant_mode
                                    # (1.85x shape) + hourglass entry convs;
                                    # dres0_1's cin=8 entry LOSES (0.84x) and
                                    # stays bf16. scripts/perf_int8_packed.py
@@ -143,6 +145,7 @@ class MSPSMNet(nn.Module):
         train: (pred1, pred2, pred3) each [N, H_full, W_full]; eval: pred3."""
         dt = self.dtype
         q = self.quant_eval and not train
+        qm = self.quant_mode
         x = cv.astype(dt)
         N, D_in, H_in, W_in, _ = x.shape
         full = (self.max_disp, H_in * self.upscale, W_in * self.upscale)
@@ -168,11 +171,11 @@ class MSPSMNet(nn.Module):
         if use_packed:
             h = nn.relu(cbn(32, 1, dtype=dt, name="dres0_1")(
                 x, train, "full", "shift"))
-            cost0p = nn.relu(cbn(32, 1, dtype=dt, quant=q, name="dres0_2")(
+            cost0p = nn.relu(cbn(32, 1, dtype=dt, quant=q, quant_mode=qm, name="dres0_2")(
                 h, train, "shift", "std"))
-            h = nn.relu(cbn(32, 1, dtype=dt, quant=q, name="dres1_1")(
+            h = nn.relu(cbn(32, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_1")(
                 cost0p, train, "std", "shift"))
-            h = cbn(32, 1, dtype=dt, quant=q, name="dres1_2")(
+            h = cbn(32, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_2")(
                 h, train, "shift", "std")
             cost0p = h + cost0p
             if train or self.packed_eval_outer:
@@ -188,19 +191,19 @@ class MSPSMNet(nn.Module):
         else:
             h = nn.relu(cbn(32, 1, dtype=dt, name="dres0_1")(
                 x, train, "full", "full"))
-            cost0 = nn.relu(cbn(32, 1, dtype=dt, quant=q, name="dres0_2")(
+            cost0 = nn.relu(cbn(32, 1, dtype=dt, quant=q, quant_mode=qm, name="dres0_2")(
                 h, train, "full", "full"))
-            h = nn.relu(cbn(32, 1, dtype=dt, quant=q, name="dres1_1")(
+            h = nn.relu(cbn(32, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_1")(
                 cost0, train, "full", "full"))
             # quant=q here too so both branches request the same coverage
             # (in the full layout, stride-1 convs are quant no-ops — see
             # the ConvBN3D.quant gate note — so this only matters if the
             # gate ever widens).
-            h = cbn(32, 1, dtype=dt, quant=q, name="dres1_2")(
+            h = cbn(32, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_2")(
                 h, train, "full", "full")
             cost0 = h + cost0
             hg1_in, hg1_lin = cost0, "full"
-        hg = lambda name: Hourglass(32, dtype=dt, quant=q,
+        hg = lambda name: Hourglass(32, dtype=dt, quant=q, quant_mode=qm,
                                     remat_stages=self.remat, name=name)
         packed_outer = use_packed and (train or self.packed_eval_outer)
         lio = "std" if packed_outer else "full"

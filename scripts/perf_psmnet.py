@@ -28,11 +28,14 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     mcfg = MatchingConfig()
     # A/B knobs: PSM_PACKED_OUTER=0 -> full-layout eval outer graph;
-    # PSM_QUANT=1 -> int8 eval of the gated convs
+    # PSM_QUANT=1 -> int8 eval of the gated convs;
+    # PSM_QUANT_MODE=static -> calibrated fixed activation scales
     import os
+    quant_mode = os.environ.get("PSM_QUANT_MODE", "dynamic")
     model = build_model(ModelConfig(
         name="MS-PSMNet", max_disp=D,
         quant_eval=bool(int(os.environ.get("PSM_QUANT", "0"))),
+        quant_mode=quant_mode,
         packed_eval_outer=bool(int(os.environ.get("PSM_PACKED_OUTER", "1")))))
 
     rng = np.random.default_rng(0)
@@ -41,6 +44,14 @@ def main():
     feats_shape = (1, D // 2, H // 2, W // 2, 8)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros(feats_shape, jnp.float32), train=False)
+    if quant_mode == "static":
+        calib = build_model(ModelConfig(name="MS-PSMNet", max_disp=D,
+                                        quant_eval=True, quant_mode="calib"))
+        f = jax.vmap(lambda a, b: ms_features_test(a, b, D, mcfg, True,
+                                                   jnp.bfloat16))(iml, imr)
+        _, qs = calib.apply(variables, f, train=False,
+                            mutable=["quant_stats"])
+        variables = dict(variables, **jax.device_get(qs))
 
     def fwd(variables, iml, imr):
         f = jax.vmap(lambda a, b: ms_features_test(a, b, D, mcfg, True,

@@ -48,6 +48,10 @@ def main():
     model_f = build_model(ModelConfig(name="MS-GCNet", max_disp=D))
     model_q = build_model(ModelConfig(name="MS-GCNet", max_disp=D,
                                       quant_eval=True))
+    model_c = build_model(ModelConfig(name="MS-GCNet", max_disp=D,
+                                      quant_eval=True, quant_mode="calib"))
+    model_s = build_model(ModelConfig(name="MS-GCNet", max_disp=D,
+                                      quant_eval=True, quant_mode="static"))
     variables = model_f.init(jax.random.PRNGKey(0),
                              jnp.zeros(feats_shape, jnp.float32), train=False)
 
@@ -59,14 +63,24 @@ def main():
             return model.apply(variables, f, train=False)
         return fwd
 
-    fwd_f, fwd_q = make_fwd(model_f), make_fwd(model_q)
+    fwd_f, fwd_q, fwd_s = make_fwd(model_f), make_fwd(model_q), \
+        make_fwd(model_s)
+
+    # calibration: one bf16 forward recording per-layer input absmax
+    feats = jax.vmap(lambda a, b: ms_features_test(
+        a, b, D, mcfg, True, jnp.bfloat16))(iml, imr)
+    _, qs = model_c.apply(variables, feats, train=False,
+                          mutable=["quant_stats"])
+    variables_s = dict(variables, **jax.device_get(qs))
 
     d_f = np.asarray(fwd_f(variables, iml, imr))[0]
     d_q = np.asarray(fwd_q(variables, iml, imr))[0]
-    delta = np.abs(d_f - d_q)
-    print(f"disparity delta: mean {delta.mean():.4f} px  "
-          f"p99 {np.percentile(delta, 99):.4f}  max {delta.max():.4f}  "
-          f"frac>0.5px {(delta > 0.5).mean():.5f}")
+    d_s = np.asarray(fwd_s(variables_s, iml, imr))[0]
+    for label, d in (("int8-dynamic", d_q), ("int8-static", d_s)):
+        delta = np.abs(d_f - d)
+        print(f"{label} disparity delta: mean {delta.mean():.4f} px  "
+              f"p99 {np.percentile(delta, 99):.4f}  max {delta.max():.4f}  "
+              f"frac>0.5px {(delta > 0.5).mean():.5f}")
 
     def make_loop(fwd, n):
         @jax.jit
@@ -80,18 +94,20 @@ def main():
             return carry
         return loop
 
-    def timed(fn):
-        int(fn(variables, iml, imr))
+    def timed(fn, v):
+        int(fn(v, iml, imr))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            int(fn(variables, iml, imr))
+            int(fn(v, iml, imr))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    for label, fwd in (("bf16", fwd_f), ("int8", fwd_q)):
-        t1 = timed(make_loop(fwd, 1))
-        tn = timed(make_loop(fwd, iters))
+    for label, fwd, v in (("bf16", fwd_f, variables),
+                          ("int8-dynamic", fwd_q, variables),
+                          ("int8-static", fwd_s, variables_s)):
+        t1 = timed(make_loop(fwd, 1), v)
+        tn = timed(make_loop(fwd, iters), v)
         per = (tn - t1) / (iters - 1)
         print(f"{label}: {per * 1e3:7.2f} ms/pair = {1.0 / per:6.2f} pairs/s")
         sys.stdout.flush()

@@ -110,6 +110,22 @@ def test_evaluator_end_to_end(cfg, trained):
     assert os.path.exists(os.path.join(cfg.eval.result_dir, "0.pfm"))
 
 
+def test_evaluator_quant_static_lazy_calibration(cfg, trained):
+    """quant_mode='static' without quant_stats in the checkpoint: the
+    Evaluator runs one calib forward on the first frame (recording
+    per-layer input absmax) and then evaluates with fixed int8 scales."""
+    import dataclasses
+    tr, state, _, _ = trained
+    qcfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, quant_eval=True, quant_mode="static"))
+    ev = Evaluator(qcfg, {"params": state.params,
+                          "batch_stats": state.batch_stats})
+    assert ev._needs_calib
+    out = ev.run(log=lambda *a, **k: None)
+    assert not ev._needs_calib and "quant_stats" in ev.variables
+    assert out["frames"] == 4 and np.isfinite(out["avg_epe"])
+
+
 def test_eval_badx_rescores_saved_pfms(cfg, trained):
     """eval-badx reads saved results and recomputes metrics offline."""
     # evaluator above only saved iteration 0; save the rest manually

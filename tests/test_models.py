@@ -693,3 +693,64 @@ def test_psmnet_packed_eval_outer_matches_full():
     assert dp.shape == df.shape == (1, 16, 32)
     np.testing.assert_allclose(np.asarray(dp), np.asarray(df),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_quant_act_static_scale_matches_dynamic_bitwise():
+    """Passing the dynamic scale's value as a static act_scale must
+    reproduce the dynamic-quant output bitwise (same int8 grid)."""
+    from msnets_tpu.models.layers import conv3d_s1_hw_packed
+    rng = np.random.default_rng(13)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 16)) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 6, 5, 5, 32)), jnp.float32)
+    sx = jnp.max(jnp.abs(x)) / 127.0
+    dyn = np.asarray(conv3d_s1_hw_packed(x, k, jnp.float32, False,
+                                         quantized=True))
+    sta = np.asarray(conv3d_s1_hw_packed(x, k, jnp.float32, False,
+                                         quantized=True, act_scale=sx))
+    np.testing.assert_array_equal(dyn, sta)
+
+
+def test_gcnet_quant_static_calibration():
+    """quant_mode='calib' records each quantized conv's input absmax into
+    the quant_stats collection; 'static' eval with those scales tracks the
+    float and dynamic-quant disparities on in-range inputs, and its output
+    for one image is independent of the rest of the batch by construction
+    (the scale is a constant)."""
+    rng = np.random.default_rng(5)
+    cv = jnp.asarray(rng.random((1, 16, 16, 32, 8)), jnp.float32)
+    mf = MSGCNet(max_disp=32, dtype=jnp.float32)
+    mq = MSGCNet(max_disp=32, dtype=jnp.float32, quant_eval=True)
+    mc = MSGCNet(max_disp=32, dtype=jnp.float32, quant_eval=True,
+                 quant_mode="calib")
+    ms = MSGCNet(max_disp=32, dtype=jnp.float32, quant_eval=True,
+                 quant_mode="static")
+    v = mf.init(jax.random.PRNGKey(0), cv, False)
+    _, qs = mc.apply(v, cv, False, mutable=["quant_stats"])
+    amaxes = jax.tree_util.tree_leaves(qs["quant_stats"])
+    assert amaxes and all(float(a) > 0 for a in amaxes), qs
+    vs = dict(v, **qs)
+    ds = np.asarray(ms.apply(vs, cv, False))
+    dq = np.asarray(mq.apply(v, cv, False))
+    df = np.asarray(mf.apply(v, cv, False))
+    assert ds.shape == df.shape
+    assert np.mean(np.abs(ds - df)) < 0.25, np.mean(np.abs(ds - df))
+    assert np.mean(np.abs(ds - dq)) < 0.25, np.mean(np.abs(ds - dq))
+
+
+def test_psmnet_quant_static_calibration():
+    """Same calib -> static round trip for MS-PSMNet's quantized convs."""
+    from msnets_tpu.models.psmnet import MSPSMNet
+    rng = np.random.default_rng(6)
+    cv = jnp.asarray(rng.random((1, 8, 16, 32, 8)), jnp.float32)
+    mf = MSPSMNet(max_disp=16, dtype=jnp.float32)
+    mc = MSPSMNet(max_disp=16, dtype=jnp.float32, quant_eval=True,
+                  quant_mode="calib")
+    ms = MSPSMNet(max_disp=16, dtype=jnp.float32, quant_eval=True,
+                  quant_mode="static")
+    v = mf.init(jax.random.PRNGKey(0), cv, False)
+    _, qs = mc.apply(v, cv, False, mutable=["quant_stats"])
+    assert jax.tree_util.tree_leaves(qs["quant_stats"]), qs
+    ds = np.asarray(ms.apply(dict(v, **qs), cv, False))
+    df = np.asarray(mf.apply(v, cv, False))
+    assert ds.shape == df.shape
+    assert np.mean(np.abs(ds - df)) < 0.25, np.mean(np.abs(ds - df))
