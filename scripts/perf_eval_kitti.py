@@ -33,15 +33,26 @@ def main():
 
     mcfg = MatchingConfig()
     rng = np.random.default_rng(0)
+    # EVAL_QUANT=dynamic|static -> int8 eval arms (see ModelConfig.quant_mode)
+    quant = _os.environ.get("EVAL_QUANT", "")
     for (H, W, D, label) in [(384, 1248, 192, "KITTI 384x1248"),
                              (576, 960, 192, "MB/ETH 576x960"),
                              (256, 512, 192, "bench 256x512")]:
-        model = build_model(ModelConfig(name="MS-GCNet", max_disp=D))
+        model = build_model(ModelConfig(
+            name="MS-GCNet", max_disp=D, quant_eval=bool(quant),
+            quant_mode=quant if quant == "static" else "dynamic"))
         iml = jnp.asarray(rng.integers(0, 256, (H, W), dtype=np.uint8))
         imr = jnp.asarray(rng.integers(0, 256, (H, W), dtype=np.uint8))
         feats_shape = (1, D // 2, H // 2, W // 2, 8)
         v = model.init(jax.random.PRNGKey(0),
                        jnp.zeros(feats_shape, jnp.float32), train=False)
+        if quant == "static":
+            calib = build_model(ModelConfig(name="MS-GCNet", max_disp=D,
+                                            quant_eval=True,
+                                            quant_mode="calib"))
+            f = ms_features_test(iml, imr, D, mcfg, True, jnp.bfloat16)[None]
+            _, qs = calib.apply(v, f, train=False, mutable=["quant_stats"])
+            v = dict(v, **jax.device_get(qs))
 
         def make(n, v=v, iml=iml, imr=imr, model=model, D=D):
             @jax.jit
