@@ -195,10 +195,14 @@ def run_train(cfg: Config, mesh=None, log=print):
             probe = tr.matcher_probe_fn(
                 batch["board_h"], batch["board_w_left"],
                 batch["board_w_right"])(batch["iml"], batch["imr"])
+            # KITTI runs colorize disparities with the KT15 false-color map
+            # instead of jet (main_msnet.py:246-320 via dispColor.py:42-57)
             writer.images(gstep, batch["left_rgb"], batch["right_rgb"],
                           np.asarray(disp), batch["disp"],
                           matcher_argmin=S.matcher_argmin_from_probe(
-                              np.asarray(probe)))
+                              np.asarray(probe)),
+                          kt15_color=bool(cfg.data.kitti2012
+                                          or cfg.data.kitti2015))
             run_log.update(loss=0.0, epe=0.0, n=0)
 
     avg = {}

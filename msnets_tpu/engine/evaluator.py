@@ -49,36 +49,69 @@ class Evaluator:
             self.variables["quant_stats"] = variables["quant_stats"]
         self.mesh = mesh
         self._fwd_cache = {}
-        # static int8 activation scales need a one-time calibration pass
-        # (records per-layer absmax into the quant_stats collection); run it
-        # lazily on the first frame so checkpoints without quant_stats work.
-        self._needs_calib = (
+        self._calib_cache = {}
+        # Static int8 activation scales need a calibration pass (records
+        # per-layer input absmax into the quant_stats collection). It runs
+        # lazily on the first frame of EVERY new input shape, max-accumulating
+        # the absmax (the calib forward uses jnp.maximum), so mixed-shape test
+        # lists (e.g. Middlebury + ETH3D) don't saturate on frames larger than
+        # the first. Checkpoints without quant_stats — or with an untouched
+        # all-zero quant_stats collection from model init (which would
+        # silently collapse every activation to saturated +-127, scale
+        # 1e-12/127) — both calibrate before the first static forward.
+        self._static_quant = (
             getattr(cfg.model, "quant_eval", False)
-            and getattr(cfg.model, "quant_mode", "dynamic") == "static"
-            and "quant_stats" not in self.variables)
+            and getattr(cfg.model, "quant_mode", "dynamic") == "static")
+        qs = self.variables.get("quant_stats")
+        if qs is not None and all(
+                not np.any(np.asarray(v)) for v in jax.tree_util.tree_leaves(qs)):
+            del self.variables["quant_stats"]
 
     def _calibrate(self, iml: np.ndarray, imr: np.ndarray):
         """One forward in quant_mode='calib' (bf16 compute) to record each
         quantized conv's input absmax; the static model then quantizes with
-        those fixed scalars — no per-input max pass (PERF.md int8 verdict)."""
+        those fixed scalars — no per-input max pass (PERF.md int8 verdict).
+
+        Runs jitted under the active mesh with the same sharding constraint
+        as _forward, so multi-chip calibration follows the sharded execution
+        path instead of an eager single-device one."""
         import dataclasses
-        calib_cfg = dataclasses.replace(self.cfg.model, quant_mode="calib")
-        calib_model = build_model(calib_cfg)
-        mcfg = self.cfg.matching
-        f = ms_features_test(jnp.asarray(iml), jnp.asarray(imr),
-                             self.cfg.model.max_disp, mcfg, mcfg.left_only,
-                             jnp.bfloat16 if self.cfg.model.compute_dtype
-                             == "bfloat16" else jnp.float32)[None]
-        _, qs = calib_model.apply(self.variables, f, train=False,
-                                  mutable=["quant_stats"])
+        shape = iml.shape
+        if shape not in self._calib_cache:
+            calib_cfg = dataclasses.replace(self.cfg.model, quant_mode="calib")
+            calib_model = build_model(calib_cfg)
+            mcfg = self.cfg.matching
+            max_disp = self.cfg.model.max_disp
+            mesh = self.mesh
+            fdt = jnp.bfloat16 if self.cfg.model.compute_dtype == "bfloat16" \
+                else jnp.float32
+
+            def calib(variables, a, b):
+                from ..parallel import mesh as pm
+                f = ms_features_test(a, b, max_disp, mcfg, mcfg.left_only,
+                                     fdt)[None]
+                if mesh is not None:
+                    f = jax.lax.with_sharding_constraint(
+                        f, pm.shard(mesh, pm.VOLUME))
+                with pm.active_mesh(mesh):
+                    _, qs = calib_model.apply(variables, f, train=False,
+                                              mutable=["quant_stats"])
+                return qs
+
+            self._calib_cache[shape] = jax.jit(calib)
+        # a missing quant_stats collection is created (zeros) by the mutable
+        # apply; on later shapes jnp.maximum accumulates over the prior values
+        qs = self._calib_cache[shape](self.variables, jnp.asarray(iml),
+                                      jnp.asarray(imr))
         self.variables = dict(self.variables, **qs)
-        self._needs_calib = False
 
     def _forward(self, iml: np.ndarray, imr: np.ndarray) -> np.ndarray:
         """Full device path: features + model, jitted per input shape."""
-        if self._needs_calib:
-            self._calibrate(iml, imr)
         shape = iml.shape
+        if self._static_quant and shape not in self._calib_cache:
+            # variables is a jit argument, so previously-compiled shapes pick
+            # up the widened scales on their next call without retracing
+            self._calibrate(iml, imr)
         if shape not in self._fwd_cache:
             mcfg = self.cfg.matching
             max_disp = self.cfg.model.max_disp
@@ -113,6 +146,7 @@ class Evaluator:
                         cfg.data.eth3d, cfg.data.middlebury])
         avg_err = avg_rate = 0.0
         n_gt = 0
+        missing_gt = []
         for it, s in enumerate(pipe):
             disp = self._forward(s.iml, s.imr)          # [1, crop_h, crop_w]
             disp = disp[0, s.crop_height - s.height:s.crop_height, :s.width]
@@ -128,6 +162,8 @@ class Evaluator:
             if s.disp_path and os.path.isfile(s.disp_path):
                 disp_gt = pfmio.read_pfm(s.disp_path)
                 disp_gt[disp_gt == np.inf] = 0.0
+            else:
+                missing_gt.append(s.entry)
             if disp_gt is not None:
                 e, r = L.epe_rate(jnp.asarray(disp_gt), jnp.asarray(disp),
                                   cfg.model.max_disp, threshold)
@@ -142,10 +178,18 @@ class Evaluator:
                 self._save_colors(save_name, disp, disp_gt)
 
         out = {}
+        if missing_gt:
+            # averages must be over the frames actually scored — dividing by
+            # len(pipe) would silently deflate EPE/bad-rate on any list with
+            # missing GT (reference lists always have GT, main_msnet.py:643-647)
+            log(f"WARNING: {len(missing_gt)} of {len(pipe)} frames have no GT "
+                f"and were excluded from the averages: "
+                f"{', '.join(missing_gt[:10])}"
+                + (" ..." if len(missing_gt) > 10 else ""))
         if n_gt:
-            out = {"avg_epe": avg_err / len(pipe), "avg_bad": avg_rate / len(pipe),
-                   "threshold": threshold, "frames": len(pipe)}
-            log(f"===> Total {len(pipe)} Frames ==> AVG EPE: {out['avg_epe']:.4f}, "
+            out = {"avg_epe": avg_err / n_gt, "avg_bad": avg_rate / n_gt,
+                   "threshold": threshold, "frames": n_gt}
+            log(f"===> Total {n_gt} Frames ==> AVG EPE: {out['avg_epe']:.4f}, "
                 f"AVG Bad-{threshold:.1f}: {out['avg_bad']:.4f}")
         return out
 

@@ -676,7 +676,14 @@ class ConvBN3D(nn.Module):
                         amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
             else:
                 assert self.quant_mode == "static", self.quant_mode
-                ascale = jnp.maximum(amax.value, 1e-12) / 127.0
+                # amax == 0 means the layer was never calibrated (quant_stats
+                # fresh from init). A tiny epsilon scale would saturate every
+                # activation at +-127 and silently collapse the conv output;
+                # poison the scale to NaN instead so the failure is loud.
+                # (The Evaluator treats all-zero quant_stats as uncalibrated
+                # and never reaches this.)
+                ascale = jnp.where(amax.value > 0, amax.value,
+                                   jnp.nan) / 127.0
         kf = kernel.astype(jnp.float32) * a
         if not quant_run:        # quantized lowerings re-scale from f32
             kf = kf.astype(self.dtype)

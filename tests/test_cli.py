@@ -98,6 +98,55 @@ def test_cli_loop_train_resumes_each_epoch(tmp_path, capsys):
     assert "Epoch 2 Complete" in out
 
 
+def _make_kitti_tree(root, n=2, h=96, w=192, disp_val=6.0):
+    import cv2
+    rng = np.random.default_rng(9)
+    entries = []
+    for d in ("image_0", "image_1", "disp_occ_0_pfm"):
+        (root / d).mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        shift = int(disp_val)
+        base = rng.integers(0, 256, (h, w + shift), dtype=np.uint8)
+        name = f"{i:06d}_10.png"
+        cv2.imwrite(str(root / "image_0" / name), base[:, :w])
+        cv2.imwrite(str(root / "image_1" / name), base[:, shift:])
+        pfmio.write_pfm(str(root / "disp_occ_0_pfm" / (name[:-4] + ".pfm")),
+                        np.full((h, w), disp_val, np.float32))
+        entries.append(name)
+    lst = root / "kt15.list"
+    lst.write_text("\n".join(entries) + "\n")
+    return str(lst)
+
+
+@pytest.mark.slow
+def test_cli_kitti_train_uses_kt15_color_summaries(tmp_path, capsys,
+                                                   monkeypatch):
+    """KITTI-flagged training colorizes TB disparity grids with the KT15
+    false-color map, not jet (main_msnet.py:246-320 via dispColor.py:42-57)."""
+    from msnets_tpu.utils import summary as S
+    lst = _make_kitti_tree(tmp_path)
+    logdir = str(tmp_path / "tb")
+    calls = []
+    orig = S.TrainSummaryWriter.images
+
+    def spy(self, *a, **kw):
+        calls.append(kw.get("kt15_color", False))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(S.TrainSummaryWriter, "images", spy)
+    argv = ["--mode=train", "--crop_height=64", "--crop_width=128",
+            "--max_disp=32", "--batchSize=2", "--nEpochs=1", "--seed=7",
+            "--kitti2015=1", f"--data_path={tmp_path}",
+            f"--training_list={lst}", f"--test_list={lst}",
+            f"--checkpoint_dir={tmp_path / 'ck'}",
+            f"--train_logdir={logdir}", "--log_summary_step=1",
+            "--threads=2", "--compute_dtype=float32", "--no_remat"]
+    cli.main(argv)
+    assert calls and all(calls)
+    events = [f for f in os.listdir(logdir) if "events" in f]
+    assert events and os.path.getsize(os.path.join(logdir, events[0])) > 1000
+
+
 @pytest.mark.slow
 def test_cli_train_then_test(tmp_path, capsys, monkeypatch):
     lst = _make_tree(tmp_path)
