@@ -242,6 +242,15 @@ class TrainPipeline:
         n = len(self.entries) // self.num_hosts
         return n // self.batch_size
 
+    def shard_entries(self, epoch: int) -> List[str]:
+        """This host's equal-length entry shard for one epoch (the per-epoch
+        permutation rotates which remainder entries drop — see class doc)."""
+        perm_rng = np.random.default_rng((self.seed, epoch))
+        perm = perm_rng.permutation(len(self.entries))
+        per_host = len(self.entries) // max(self.num_hosts, 1)
+        shard = perm[self.host_id::self.num_hosts][:per_host]
+        return [self.entries[i] for i in shard]
+
     def _load(self, epoch: int, index: int) -> TrainSample:
         entry = self._epoch_entries[index]
         paths = resolvers.resolve(self.data_cfg.dataset, self.data_cfg.data_path,
@@ -260,16 +269,12 @@ class TrainPipeline:
         uninterrupted run would have seen (step-granular recovery; the
         reference's recovery granularity is a whole epoch,
         do_main_msnet.sh:143-192)."""
-        perm_rng = np.random.default_rng((self.seed, epoch))
-        perm = perm_rng.permutation(len(self.entries))
         # equal shard length on every host (len // num_hosts): with uneven
         # strided shards one host would run extra jitted steps the others
         # never enter — on a real multi-process mesh the collectives of
         # that step block forever. Coverage across epochs is preserved by
         # the per-epoch permutation (different entries drop each epoch).
-        per_host = len(self.entries) // max(self.num_hosts, 1)
-        shard = perm[self.host_id::self.num_hosts][:per_host]
-        self._epoch_entries = [self.entries[i] for i in shard]
+        self._epoch_entries = self.shard_entries(epoch)
         n_batches = len(self._epoch_entries) // self.batch_size
         indices = range(start_batch * self.batch_size,
                         n_batches * self.batch_size)
@@ -320,6 +325,43 @@ class TrainPipeline:
                     "board_w_left": g0[1],
                     "board_w_right": g0[2],
                 }
+
+
+class MapDataset:
+    """Map-style random-access training dataset (the reference's
+    DatasetFromList, src/dataloader/dataset.py:124-215): ``__len__`` +
+    ``__getitem__`` over this host's shard of one epoch.
+
+    A thin re-expression of TrainPipeline._load: ``ds[i]`` returns exactly
+    the sample the streamed TrainPipeline would place at position ``i`` of
+    the same epoch (same (seed, epoch, index) crop RNG, same shard
+    permutation) — parity asserted by
+    tests/test_data.py::test_map_dataset_matches_streamed_order. Index with
+    ``ds[i]`` for the bound epoch, or ``ds[(epoch, i)]`` for any epoch."""
+
+    def __init__(self, pipeline: TrainPipeline, epoch: int = 1):
+        self.pipe = pipeline
+        self.epoch = epoch
+        self._shards = {epoch: pipeline.shard_entries(epoch)}
+
+    def __len__(self) -> int:
+        return len(self._shards[self.epoch])
+
+    def __getitem__(self, key) -> TrainSample:
+        epoch, index = key if isinstance(key, tuple) else (self.epoch, key)
+        if epoch not in self._shards:
+            self._shards[epoch] = self.pipe.shard_entries(epoch)
+        entries = self._shards[epoch]
+        if not -len(entries) <= index < len(entries):
+            raise IndexError(index)
+        index %= len(entries)
+        p = self.pipe
+        paths = resolvers.resolve(p.data_cfg.dataset, p.data_cfg.data_path,
+                                  entries[index], p.cleanpass)
+        rng = np.random.default_rng((p.seed, epoch, index))
+        return make_train_sample(paths[0], paths[1], paths[2],
+                                 p.crop_h, p.crop_w, p.max_disp,
+                                 p.cfg, rng, p.fixed_center)
 
 
 class TestPipeline:

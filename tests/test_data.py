@@ -160,6 +160,33 @@ def test_host_sharding_equal_and_covers_across_epochs(tmp_path):
     assert len(seen) == 5  # rotation covers every entry within a few epochs
 
 
+def test_map_dataset_matches_streamed_order(tmp_path):
+    """Random-access MapDataset (reference DatasetFromList,
+    dataset.py:124-215) returns exactly the sample the streamed pipeline
+    places at the same position of the same epoch."""
+    lst = _write_synthetic_sf_tree(tmp_path)
+    dc = DataConfig(data_path=str(tmp_path), training_list=lst)
+    mc = MatchingConfig(board_h=4)
+    pipe = P.TrainPipeline(dc, mc, crop_h=32, crop_w=64, max_disp=16,
+                           batch_size=1, seed=7, num_threads=2)
+    ds = P.MapDataset(pipe, epoch=1)
+    assert len(ds) == 4
+    streamed = list(pipe.epoch(1))
+    # access out of order on purpose
+    for i in (3, 0, 2, 1):
+        s = ds[i]
+        np.testing.assert_array_equal(s.iml, streamed[i]["iml"][0])
+        np.testing.assert_array_equal(s.disp, streamed[i]["disp"][0])
+        np.testing.assert_array_equal(s.left_rgb, streamed[i]["left_rgb"][0])
+    # (epoch, index) keys address any epoch; negative indices wrap
+    s2 = ds[(2, 1)]
+    streamed2 = list(pipe.epoch(2))
+    np.testing.assert_array_equal(s2.iml, streamed2[1]["iml"][0])
+    np.testing.assert_array_equal(ds[-1].iml, streamed[3]["iml"][0])
+    with pytest.raises(IndexError):
+        ds[4]
+
+
 def test_resolve_rejects_unknown_dataset():
     import pytest
     from msnets_tpu.data import resolvers as R
