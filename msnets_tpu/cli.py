@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize BN'd stages (needed above the "
                         "reference crop/batch; see TrainConfig.remat)")
     p.add_argument("--no_remat", dest="remat", action="store_false")
+    p.add_argument("--remat_scope", type=str, default="all",
+                   choices=["all", "hourglass"],
+                   help="MS-PSMNet remat scope: 'all' (reference recipe) or "
+                        "'hourglass' (interiors only; cheaper recompute when "
+                        "the dres/classifier residuals fit HBM)")
     p.add_argument("--quant_eval", type=int, default=0,
                    help="int8 eval of the compute-bound convs (2x MXU rate; "
                         "~0.1 px disparity delta, scripts/perf_quant_eval.py)."
@@ -118,7 +123,8 @@ def args_to_config(a) -> Config:
                           log_summary_step=a.log_summary_step,
                           checkpoint_dir=a.checkpoint_dir,
                           train_logdir=a.train_logdir, resume=a.resume,
-                          remat=remat, grad_accum=a.grad_accum,
+                          remat=remat, remat_scope=a.remat_scope,
+                          grad_accum=a.grad_accum,
                           num_hosts=a.num_hosts, host_id=a.host_id,
                           ckpt_every_steps=a.ckpt_every_steps),
         data=DataConfig(data_path=a.data_path, training_list=a.training_list,

@@ -90,6 +90,11 @@ class ModelConfig:
     #   "calib"   — bf16 compute, records each quantized conv's input absmax
     #               into quant_stats (mutable=["quant_stats"]).
     quant_mode: str = "dynamic"
+    # which convs quant_eval covers: "all" (stem conv2 + encoder block entry
+    # convs) or "stem" (conv2 only, the biggest int8 winner at 1.85x —
+    # restricts the s32/dequant HBM overhead to the one conv where the MXU
+    # rate win dominates; A/B: scripts/perf_quant_scope.py)
+    quant_scope: str = "all"
     # MS-PSMNet only: keep the full-res outer graph (hourglass outputs,
     # skip adds, classifiers) in packed-std layout in eval too (train
     # always does) — full-layout c32 volumes pay 4x lane-padded HBM
@@ -128,6 +133,11 @@ class TrainConfig:
     # batches (scripts/train_step_memstats.py prints XLA's HBM analysis
     # without executing)
     remat: bool = False
+    # MS-PSMNet remat scope: "all" remats every BN'd stage (required at the
+    # reference recipe); "hourglass" remats only the hourglass interiors —
+    # cheaper recompute when the dres/classifier residuals fit HBM
+    # (smaller crops/batch; scripts/perf_psmnet_remat.py measures both)
+    remat_scope: str = "all"
     # micro-batching: split each batch into N sequential micro-steps,
     # accumulating gradients (BatchNorm stats thread through sequentially).
     # Lets train-crop batch 2 fit one chip's HBM; batch_size % grad_accum == 0

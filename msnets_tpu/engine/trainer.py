@@ -58,7 +58,9 @@ class Trainer:
 
     def __init__(self, cfg: Config, mesh=None):
         self.cfg = cfg
-        self.model = build_model(cfg.model, remat=cfg.train.remat)
+        self.model = build_model(cfg.model, remat=cfg.train.remat,
+                                 remat_scope=getattr(cfg.train, "remat_scope",
+                                                     "all"))
         self.tx = make_optimizer(cfg.train.lr)
         self.mesh = mesh
         self.is_kitti = cfg.data.kitti2012 or cfg.data.kitti2015

@@ -3,7 +3,7 @@ from .psmnet import MSPSMNet  # noqa: F401
 from .layers import soft_argmin, resize_trilinear_align_corners  # noqa: F401
 
 
-def build_model(model_cfg, remat: bool = False):
+def build_model(model_cfg, remat: bool = False, remat_scope: str = "all"):
     """Model factory by name (reference main_msnet.py:60-65)."""
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -18,6 +18,7 @@ def build_model(model_cfg, remat: bool = False):
                            model_cfg, "mid_deconv_mode_train", "conv_shuffle"),
                        quant_eval=getattr(model_cfg, "quant_eval", False),
                        quant_mode=getattr(model_cfg, "quant_mode", "dynamic"),
+                       quant_scope=getattr(model_cfg, "quant_scope", "all"),
                        dtype=dtype, remat=remat)
     if model_cfg.name == "MS-PSMNet":
         return MSPSMNet(max_disp=model_cfg.max_disp,
@@ -27,5 +28,5 @@ def build_model(model_cfg, remat: bool = False):
                         quant_mode=getattr(model_cfg, "quant_mode", "dynamic"),
                         packed_eval_outer=getattr(model_cfg,
                                                   "packed_eval_outer", True),
-                        dtype=dtype, remat=remat)
+                        dtype=dtype, remat=remat, remat_scope=remat_scope)
     raise ValueError(f"No suitable model found: {model_cfg.name}")

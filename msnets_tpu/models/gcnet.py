@@ -47,6 +47,11 @@ class MSGCNet(nn.Module):
     quant_mode: str = "dynamic"     # "dynamic" | "static" | "calib"
                                     # (see ModelConfig.quant_mode; static
                                     # needs one calib forward first)
+    quant_scope: str = "all"        # which convs quant_eval covers: "all"
+                                    # (conv2 + block entries, the round-1/2
+                                    # coverage) or "stem" (conv2 only — the
+                                    # one conv where int8 wins big, 1.85x;
+                                    # A/B: scripts/perf_quant_scope.py)
 
     @nn.compact
     def __call__(self, cv, train: bool = False, stop_at: str = ""):
@@ -60,6 +65,7 @@ class MSGCNet(nn.Module):
         F = self.num_filters
         dt = self.dtype
         q = self.quant_eval and not train
+        qb = q and self.quant_scope == "all"   # block entry convs
         qm = self.quant_mode
         x = cv.astype(dt)
 
@@ -101,7 +107,7 @@ class MSGCNet(nn.Module):
                 res_l20, res_l20p = hw_unpack(x2), None
             if stop_at == "stem":
                 return x2
-            x = block(2 * F, 2, dtype=dt, quant=q, quant_mode=qm, name="block_3d_1")(x2, train, "std")
+            x = block(2 * F, 2, dtype=dt, quant=qb, quant_mode=qm, name="block_3d_1")(x2, train, "std")
         else:
             x = nn.relu(convbn(F, 1, dtype=dt, name="conv3dbn_1")(
                 x, train, "full", "full"))
@@ -110,19 +116,19 @@ class MSGCNet(nn.Module):
             res_l20 = x
             if stop_at == "stem":
                 return x
-            x = block(2 * F, 2, dtype=dt, quant=q, quant_mode=qm, name="block_3d_1")(x, train, "full")
+            x = block(2 * F, 2, dtype=dt, quant=qb, quant_mode=qm, name="block_3d_1")(x, train, "full")
         if stop_at == "block1":
             return x
         res_l23 = x
-        x = block(2 * F, 2, dtype=dt, quant=q, quant_mode=qm, name="block_3d_2")(x, train, "full")
+        x = block(2 * F, 2, dtype=dt, quant=qb, quant_mode=qm, name="block_3d_2")(x, train, "full")
         if stop_at == "block2":
             return x
         res_l26 = x
-        x = block(2 * F, 2, dtype=dt, quant=q, quant_mode=qm, name="block_3d_3")(x, train, "full")
+        x = block(2 * F, 2, dtype=dt, quant=qb, quant_mode=qm, name="block_3d_3")(x, train, "full")
         if stop_at == "block3":
             return x
         res_l29 = x
-        x = block(4 * F, 2, dtype=dt, quant=q, quant_mode=qm, name="block_3d_4")(x, train, "full")
+        x = block(4 * F, 2, dtype=dt, quant=qb, quant_mode=qm, name="block_3d_4")(x, train, "full")
         if stop_at == "block4":
             return x
 

@@ -125,6 +125,14 @@ class MSPSMNet(nn.Module):
     upscale: int = 2
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_scope: str = "all"       # what remat=True rematerializes:
+                                   # "all" (default) every BN'd stage —
+                                   # needed at the reference recipe (the
+                                   # dres/classifier BN f32 residuals alone
+                                   # are 182 MB over HBM with hourglass-only
+                                   # remat); "hourglass" remats only the
+                                   # hourglass interiors for smaller crops /
+                                   # batch. A/B: scripts/perf_psmnet_remat.py
     packed_train: bool = True      # packed dres layouts in train too
                                    # (PackedPhaseBN halo-masked statistics)
     quant_eval: bool = False       # int8 eval of the packed dres convs
@@ -165,7 +173,7 @@ class MSPSMNet(nn.Module):
         # hourglasses alone leave the dres/classifier BN f32 residuals live
         # through the backward (182 MB over HBM at the reference recipe)
         cbn, clf = ConvBN3D, _Classifier
-        if self.remat:
+        if self.remat and self.remat_scope == "all":
             cbn = nn.remat(ConvBN3D, static_argnums=(2, 3, 4))
             clf = nn.remat(_Classifier, static_argnums=(2, 3))
         if use_packed:
