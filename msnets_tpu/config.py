@@ -67,9 +67,11 @@ class ModelConfig:
     # "float32" for strict parity tests). Params/BN stats stay float32.
     compute_dtype: str = "bfloat16"
     # lowering for the GCNet mid deconvs (deconvbn1-3): "dense" (XLA
-    # lhs_dilation) or "conv_shuffle" (sparse-FLOP packed conv + shuffle).
-    # Measured on v5e: dense wins the integrated eval graph, conv_shuffle
-    # wins the train step (its k=2 conv VJP beats the dilated conv's).
+    # lhs_dilation), "conv_shuffle" (sparse-FLOP packed conv + full
+    # shuffle), or "ps_shuffle" (packed conv + PARTIAL shuffle: pz/ph move
+    # as major axes, pw stays channel-folded through a free reshape — kills
+    # the lane-crossing interleave that made conv_shuffle lose eval).
+    # A/B numbers: PERF.md "Mid-deconv lowering" section.
     mid_deconv_mode: str = "dense"
     mid_deconv_mode_train: str = "conv_shuffle"
     # int8 eval of the compute-bound convs: dynamic per-SAMPLE activation +

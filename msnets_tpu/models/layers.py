@@ -977,6 +977,39 @@ def deconv3d_conv_shuffle(x: jnp.ndarray, kernel: jnp.ndarray,
     return y.reshape(N, 2 * D, 2 * H, 2 * W, cout)
 
 
+def deconv3d_ps_shuffle(x: jnp.ndarray, kernel: jnp.ndarray,
+                        dtype) -> jnp.ndarray:
+    """ConvTranspose3d(k=3, s=2, p=1, op=1) via phase conv + PARTIAL shuffle.
+
+    Same phase-packed conv as `deconv3d_s2_packed_out` (N = 8*cout — full
+    MXU lane utilization, sparse FLOPs once), but the depth-to-space differs
+    from `deconv3d_conv_shuffle`'s full interleave: only the pz and ph phase
+    axes move into D and H (a major-axis transpose with the minor
+    [W, 2*cout] block intact — near-bandwidth), while the pw phase stays
+    folded into channels, where `w_unfold`'s free reshape makes the result
+    full layout. Kills the lane-crossing pw x cout interleave that made
+    conv_shuffle lose the integrated eval A/B (42.0 vs 44.2 pairs/s,
+    PERF.md), and the downstream skip-add reads the 2*cout-channel folded
+    form at full lane utilization.
+    """
+    N, D, H, W, cin = x.shape
+    cout = kernel.shape[-1]
+    k2 = _conv_shuffle_kernel(kernel).astype(dtype)    # out (pz, ph, pw, co)
+    x = x.astype(dtype)
+    xpd = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    y = None
+    for bz in range(2):
+        sl = xpd[:, bz:bz + D].reshape(N * D, H, W, cin)
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k2[bz].shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        t = _conv(sl, k2[bz], (1, 1), [(0, 1), (0, 1)],
+                  dimension_numbers=dn)
+        y = t if y is None else y + t
+    y = y.reshape(N, D, H, W, 2, 2, 2 * cout)
+    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6))        # pz -> D, ph -> H
+    return y.reshape(N, 2 * D, 2 * H, 2 * W, cout)
+
+
 def deconv3d_apply(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                    dtype, mode: str = "dense") -> jnp.ndarray:
     """ConvTranspose3d(k, stride, padding=1, output_padding=stride-1) by
@@ -990,6 +1023,8 @@ def deconv3d_apply(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     s = stride
     if mode == "conv_shuffle" and k == 3 and s == 2:
         return deconv3d_conv_shuffle(x, kernel, dtype)
+    if mode == "ps_shuffle" and k == 3 and s == 2:
+        return deconv3d_ps_shuffle(x, kernel, dtype)
     if mode == "subpixel" and k == 3:
         return deconv3d_subpixel(x, kernel, s, dtype)
     pad_lo = k - 2            # k-1-padding, padding=1

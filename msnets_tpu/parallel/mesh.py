@@ -106,6 +106,11 @@ def replicate(x):
     caught it). Explicitly annotating the computed kernel as replicated
     restores bit-level agreement with the unsharded graph. Cheap: kernels
     are KB-sized and replicated anyway.
+
+    Re-checked 2026-08-20 on jax 0.9.0 (round 3): with this pin disabled
+    the serve sharded test still miscomputes — the workaround remains
+    load-bearing on current XLA. Re-probe on toolchain upgrades by stubbing
+    ``pm.replicate = lambda x: x`` and running that test.
     """
     mesh = _ACTIVE_MESH[-1] if _ACTIVE_MESH else None
     if mesh is None or not hasattr(x, "ndim"):

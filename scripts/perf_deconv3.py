@@ -55,10 +55,13 @@ def main():
             return lambda: loop((x, skip))
         print(f"{label:34s} {timed_loop(make)*1e3:8.2f} ms"); sys.stdout.flush()
 
+    from msnets_tpu.models.layers import deconv3d_ps_shuffle
     scan_time(lambda a, sk: jax.nn.relu(
         deconv3d_apply(a, k3, 2, dt, "dense") + sk), "dense + skip + relu")
     scan_time(lambda a, sk: jax.nn.relu(
         deconv3d_conv_shuffle(a, k3, dt) + sk), "conv_shuffle + skip + relu")
+    scan_time(lambda a, sk: jax.nn.relu(
+        deconv3d_ps_shuffle(a, k3, dt) + sk), "ps_shuffle + skip + relu")
     scan_time(lambda a, sk: jax.nn.relu(
         deconv3d_subpixel(a, k3, 2, dt).astype(dt) + sk),
         "subpixel + skip + relu")

@@ -81,7 +81,9 @@ def bench_variant(tag, quant, scope):
     return ms
 
 
+VARIANTS = {"bf16": (False, "all"), "int8-stem": (True, "stem"),
+            "int8-all": (True, "all")}
+
 if __name__ == "__main__":
-    bench_variant("bf16", False, "all")
-    bench_variant("int8-stem", True, "stem")
-    bench_variant("int8-all", True, "all")
+    for tag in (sys.argv[1:] or ["bf16", "int8-stem", "int8-all"]):
+        bench_variant(tag, *VARIANTS[tag])

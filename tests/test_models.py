@@ -397,6 +397,35 @@ def test_gcnet_mid_deconv_conv_shuffle_matches_dense():
                                    rtol=2e-3, atol=2e-3, err_msg=str(path))
 
 
+def test_gcnet_mid_deconv_ps_shuffle_matches_dense():
+    """mid_deconv_mode="ps_shuffle" (phase conv + partial interleave, pw
+    stays channel-folded through a free reshape) == "dense" numerics in
+    eval AND train."""
+    rng = np.random.default_rng(11)
+    cv = jnp.asarray(rng.standard_normal((1, 16, 16, 32, 8)), jnp.float32)
+    md = MSGCNet(max_disp=32, dtype=jnp.float32, mid_deconv_mode="dense",
+                 mid_deconv_mode_train="dense")
+    ms = MSGCNet(max_disp=32, dtype=jnp.float32,
+                 mid_deconv_mode="ps_shuffle",
+                 mid_deconv_mode_train="ps_shuffle")
+    v = md.init(jax.random.PRNGKey(3), cv, True)
+
+    ed = md.apply(v, cv, train=False)
+    es = ms.apply(v, cv, train=False)
+    np.testing.assert_allclose(np.asarray(ed), np.asarray(es),
+                               rtol=1e-4, atol=1e-4)
+
+    od, sd = md.apply(v, cv, True, mutable=["batch_stats"])
+    os_, ss = ms.apply(v, cv, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(od), np.asarray(os_),
+                               rtol=5e-3, atol=5e-3)
+    fd = jax.tree_util.tree_leaves_with_path(sd["batch_stats"])
+    fs = dict(jax.tree_util.tree_leaves_with_path(ss["batch_stats"]))
+    for path, leaf in fd:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(fs[path]),
+                                   rtol=2e-3, atol=2e-3, err_msg=str(path))
+
+
 def test_gcnet_train_packed_matches_unpacked():
     """Full MSGCNet train step, packed_train=True vs False: same params ->
     same disparity, same updated batch stats, same gradients."""
