@@ -911,6 +911,13 @@ def deconv3d_s2_pz_slabs(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
         acc = (None if adds is None else
                adds[t].astype(dtype).reshape(N * D, H, W, 4 * cout))
         for bz in range(2):
+            if t == 0 and bz == 1:
+                # statically zero kernel slice: depth phase pz=0 has a
+                # single tap (kd=1, off=0) — _deconv_phase_taps(2) — so no
+                # weight reaches depth block offset 1. The kernel is a
+                # runtime einsum, so XLA cannot see the zeros; skipping the
+                # conv here drops 25% of the lowering's FLOPs outright.
+                continue
             sl = xpd[:, bz:bz + D].reshape(N * D, H, W, cin)
             dn = jax.lax.conv_dimension_numbers(
                 sl.shape, kpz[bz, ..., t, :].shape, ("NHWC", "HWIO", "NHWC"))
@@ -1432,6 +1439,13 @@ class SubpixelSoftArgminHead(nn.Module):
         L = None
         for s in range(2):
             for bd in range(2):
+                if s == 1 and bd == 1:
+                    # statically zero: source slab/offset (s, bd) encodes
+                    # qd + oz = 2*bd + s, and qd, oz are both in {0, 1} —
+                    # qd + oz == 3 is unreachable, so sel[1, 1] has no
+                    # entries. Skipping drops 25% of the head conv FLOPs
+                    # (the kernel is a runtime einsum; XLA can't see it).
+                    continue
                 src = Sf[s]
                 if bd:                      # depth block B+1: shift slab up
                     src = jnp.pad(
