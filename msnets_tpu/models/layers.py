@@ -873,15 +873,20 @@ def deconv3d_s2_packed_out(x: jnp.ndarray, kernel: jnp.ndarray,
     k2 = _conv_shuffle_kernel(kernel).astype(dtype)
     x = x.astype(dtype)
     xpd = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
-    out = None
-    for bz in range(2):
+
+    def c2d(bz, k):
         sl = xpd[:, bz:bz + D].reshape(N * D, H, W, cin)
-        dn = jax.lax.conv_dimension_numbers(sl.shape, k2[bz].shape,
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k.shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = _conv(sl, k2[bz], (1, 1),
-                                         [(0, 1), (0, 1)],
-                                         dimension_numbers=dn)
-        out = y if out is None else out + y
+        return _conv(sl, k, (1, 1), [(0, 1), (0, 1)], dimension_numbers=dn)
+
+    # depth phase pz=0 has a single D-tap at offset 0 (_deconv_phase_taps),
+    # so the bz=1 kernel's first channel half (pz=0 groups) is statically
+    # zero — a runtime einsum XLA can't fold. Run bz=1 over the pz=1 half
+    # only (N = 4*cout, still >= 128 lanes for cout >= 32): 25% fewer FLOPs.
+    out = c2d(0, k2[0])
+    y1 = c2d(1, k2[1][..., 4 * cout:])
+    out = out + jnp.pad(y1, ((0, 0), (0, 0), (0, 0), (4 * cout, 0)))
     return out.reshape(N, D, H, W, 8 * cout)
 
 
