@@ -91,6 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
                         " Coverage is shape-gated: packed stride-1 lowerings"
                         " and stride-2 convs above conv3d_ndhwc's >=1M-voxel"
                         " even-dims gate; small/memory-bound convs stay bf16")
+    p.add_argument("--quant_scope", type=str, default="all",
+                   choices=["all", "stem"],
+                   help="which convs --quant_eval covers (MS-GCNet): 'all' "
+                        "= stem conv2 + encoder block entries; 'stem' = "
+                        "conv2 only. Both measured slower than bf16 at "
+                        "bench shapes (PERF.md) — int8 is opt-in")
     p.add_argument("--quant_mode", type=str, default="dynamic",
                    choices=["dynamic", "static"],
                    help="activation-scale regime for --quant_eval: 'dynamic'"
@@ -115,7 +121,8 @@ def args_to_config(a) -> Config:
                           in_channels=a.cbmv_F,
                           compute_dtype=a.compute_dtype,
                           quant_eval=bool(a.quant_eval),
-                          quant_mode=a.quant_mode),
+                          quant_mode=a.quant_mode,
+                          quant_scope=a.quant_scope),
         train=TrainConfig(crop_height=a.crop_height, crop_width=a.crop_width,
                           batch_size=a.batchSize, lr=a.lr,
                           epochs=a.nEpochs, start_epoch=a.startEpoch,

@@ -69,6 +69,11 @@ COMMON_ARGS=(--crop_height="$CROP_HEIGHT" --crop_width="$CROP_WIDTH"
   --kitti2012="$KT2012" --kitti2015="$KT2015" --eth3d="$ETH3D"
   --middlebury="$MIDDLEBURY" --model_name="$MODEL_NAME"
   --resultDir="$RESULTDIR" --sf_frames="$SF_FRAME" --mesh="$MESH")
+# optional knobs (forwarded only when set): REMAT=1/0, REMAT_SCOPE=all|hourglass,
+# QUANT_EVAL=1 (+QUANT_MODE=static|dynamic) for int8 eval
+[ -n "${REMAT:-}" ] && { [ "$REMAT" -eq 1 ] && COMMON_ARGS+=(--remat) || COMMON_ARGS+=(--no_remat); }
+[ -n "${REMAT_SCOPE:-}" ] && COMMON_ARGS+=(--remat_scope="$REMAT_SCOPE")
+[ -n "${QUANT_EVAL:-}" ] && COMMON_ARGS+=(--quant_eval="$QUANT_EVAL" --quant_mode="${QUANT_MODE:-static}")
 
 case "$TASK_TYPE" in
   loop-train)

@@ -152,6 +152,38 @@ def test_evaluator_quant_static_allzero_stats_recalibrates(cfg, trained):
     assert out["frames"] == 4 and np.isfinite(out["avg_epe"])
 
 
+def test_evaluator_quant_static_recalibrates_per_new_shape(cfg, trained):
+    """Mixed-shape test sets: the static-quant Evaluator max-accumulates
+    per-layer absmax on the first frame of every NEW input shape, so later
+    larger/brighter frames can only widen the scales (ADVICE r2 #3)."""
+    import dataclasses
+    import jax
+    tr, state, _, _ = trained
+    qcfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, quant_eval=True, quant_mode="static"))
+    ev = Evaluator(qcfg, {"params": state.params,
+                          "batch_stats": state.batch_stats})
+    rng = np.random.default_rng(0)
+    a1 = rng.integers(0, 128, (96, 192), dtype=np.uint8)   # dim frame
+    b1 = rng.integers(0, 128, (96, 192), dtype=np.uint8)
+    ev._forward(a1, b1)
+    qs1 = jax.tree.map(lambda v: np.asarray(v).copy(),
+                       ev.variables["quant_stats"])
+    assert len(ev._calib_cache) == 1
+    # a second, larger and brighter shape triggers another calib pass that
+    # can only increase the recorded absmax
+    a2 = rng.integers(0, 256, (128, 224), dtype=np.uint8)
+    b2 = rng.integers(0, 256, (128, 224), dtype=np.uint8)
+    ev._forward(a2, b2)
+    assert len(ev._calib_cache) == 2
+    for p1, p2 in zip(jax.tree_util.tree_leaves(qs1),
+                      jax.tree_util.tree_leaves(ev.variables["quant_stats"])):
+        assert np.all(np.asarray(p2) >= np.asarray(p1) - 1e-6)
+    # same shape again: no further calibration entries
+    ev._forward(a1, b1)
+    assert len(ev._calib_cache) == 2
+
+
 def test_evaluator_missing_gt_excluded_from_averages(cfg, trained):
     """EPE/bad averages divide by the number of frames actually scored, not
     the list length; missing-GT frames are warned about (VERDICT r2 weak #2)."""
