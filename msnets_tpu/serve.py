@@ -108,8 +108,22 @@ class StereoServer:
         from .models import build_model
         from .parallel import mesh as pm
         self.model = build_model(cfg.model)
-        variables = {"params": variables["params"],
-                     "batch_stats": variables.get("batch_stats", {})}
+        keep = {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {})}
+        # static int8 configs need the calibrated per-layer scales; dropping
+        # them would make every static conv read a missing collection (or,
+        # with zeros, NaN-poison the output — layers.py static guard). The
+        # server has no calibration pass of its own: calibrate via the
+        # Evaluator (or one calib-mode forward) and pass quant_stats in.
+        if "quant_stats" in variables:
+            keep["quant_stats"] = variables["quant_stats"]
+        elif (getattr(cfg.model, "quant_eval", False)
+              and getattr(cfg.model, "quant_mode", "dynamic") == "static"):
+            raise ValueError(
+                "StereoServer: quant_mode='static' needs calibrated "
+                "quant_stats in `variables` (run one quant_mode='calib' "
+                "forward, or Evaluator auto-calibration, first)")
+        variables = keep
         # Pin the weights on-device ONCE: host-resident (numpy) variables
         # re-upload ~11 MB per predict() call. Measured impact
         # (scripts/perf_serve.py, KITTI shape through the axon relay):

@@ -27,6 +27,33 @@ def _server(buckets, max_disp=32):
     return StereoServer(cfg, variables, buckets=buckets)
 
 
+def test_server_static_quant_needs_calibrated_scales():
+    """quant_mode='static' without quant_stats must fail LOUDLY at server
+    construction (not silently saturate); with calibrated stats it serves."""
+    import dataclasses
+    cfg = _small_cfg()
+    qcfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, quant_eval=True, quant_mode="static"))
+    from msnets_tpu.models import build_model
+    model = build_model(cfg.model)
+    fs = (1, 16, 16, 32, 8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(fs, jnp.float32), train=False)
+    with pytest.raises(ValueError, match="quant_stats"):
+        StereoServer(qcfg, variables)
+    # calibrate with one calib-mode forward, then the server accepts it
+    calib_model = build_model(dataclasses.replace(
+        qcfg.model, quant_mode="calib"))
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.standard_normal(fs), jnp.float32)
+    _, qs = calib_model.apply(variables, f, train=False,
+                              mutable=["quant_stats"])
+    srv = StereoServer(qcfg, dict(variables, **qs))
+    iml = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    d = srv.predict(iml, iml)
+    assert d.shape == (32, 64) and np.isfinite(d).all()
+
+
 def test_pick_bucket():
     assert pick_bucket(375, 1242, DEFAULT_BUCKETS) == (384, 1248)
     assert pick_bucket(240, 400, DEFAULT_BUCKETS) == (256, 512)
