@@ -251,14 +251,19 @@ class TrainPipeline:
         shard = perm[self.host_id::self.num_hosts][:per_host]
         return [self.entries[i] for i in shard]
 
-    def _load(self, epoch: int, index: int) -> TrainSample:
-        entry = self._epoch_entries[index]
+    def load_entry(self, entry: str, epoch: int, index: int) -> TrainSample:
+        """Load one sample by (entry, epoch, index) — the single definition
+        of sample construction shared by the stream and MapDataset (the
+        (seed, epoch, index) rng key IS the ds[i] == streamed[i] contract)."""
         paths = resolvers.resolve(self.data_cfg.dataset, self.data_cfg.data_path,
                                   entry, self.cleanpass)
         rng = np.random.default_rng((self.seed, epoch, index))
         return make_train_sample(paths[0], paths[1], paths[2],
                                  self.crop_h, self.crop_w, self.max_disp,
                                  self.cfg, rng, self.fixed_center)
+
+    def _load(self, epoch: int, index: int) -> TrainSample:
+        return self.load_entry(self._epoch_entries[index], epoch, index)
 
     def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[dict]:
         """Yield batches of stacked host arrays for one epoch.
@@ -355,13 +360,7 @@ class MapDataset:
         if not -len(entries) <= index < len(entries):
             raise IndexError(index)
         index %= len(entries)
-        p = self.pipe
-        paths = resolvers.resolve(p.data_cfg.dataset, p.data_cfg.data_path,
-                                  entries[index], p.cleanpass)
-        rng = np.random.default_rng((p.seed, epoch, index))
-        return make_train_sample(paths[0], paths[1], paths[2],
-                                 p.crop_h, p.crop_w, p.max_disp,
-                                 p.cfg, rng, p.fixed_center)
+        return self.pipe.load_entry(entries[index], epoch, index)
 
 
 class TestPipeline:

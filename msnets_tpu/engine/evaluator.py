@@ -103,6 +103,17 @@ class Evaluator:
         # apply; on later shapes jnp.maximum accumulates over the prior values
         qs = self._calib_cache[shape](self.variables, jnp.asarray(iml),
                                       jnp.asarray(imr))
+        # a layer whose recorded absmax is still 0 after calibration (its
+        # input was exactly zero on the calib frame) would NaN-poison the
+        # static forward (layers.py guard) with no diagnostic — name it here
+        zero = [jax.tree_util.keystr(p) for p, v in
+                jax.tree_util.tree_leaves_with_path(qs["quant_stats"])
+                if not np.any(np.asarray(v))]
+        if zero:
+            raise ValueError(
+                f"static int8 calibration recorded absmax=0 for {zero} on a "
+                f"{iml.shape} frame — calibrate on a more representative "
+                "frame or disable quant_eval")
         self.variables = dict(self.variables, **qs)
 
     def _forward(self, iml: np.ndarray, imr: np.ndarray) -> np.ndarray:

@@ -64,6 +64,7 @@ class MSGCNet(nn.Module):
         graph; "" (default) runs everything."""
         F = self.num_filters
         dt = self.dtype
+        assert self.quant_scope in ("all", "stem"), self.quant_scope
         q = self.quant_eval and not train
         qb = q and self.quant_scope == "all"   # block entry convs
         qm = self.quant_mode

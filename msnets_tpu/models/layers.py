@@ -975,18 +975,12 @@ def deconv3d_conv_shuffle(x: jnp.ndarray, kernel: jnp.ndarray,
     (contraction 8*cin — MXU-friendly), followed by a depth-to-space
     interleave. Does the transposed conv's sparse FLOPs exactly once,
     unlike XLA's dense lhs_dilation lowering (stride^3-fold waste).
+    Lowered through `deconv3d_s2_packed_out` (2 depth-tap 2-D convs, which
+    also skips the statically-zero pz=0/offset-1 kernel half) followed by
+    the full depth-to-space interleave.
     """
-    N, D, H, W, cin = x.shape
-    cout = kernel.shape[-1]
-    k2 = _conv_shuffle_kernel(kernel)
-    dn = jax.lax.conv_dimension_numbers(
-        x.shape, k2.shape, ("NDHWC", "DHWIO", "NDHWC"))
-    y = _conv(
-        x.astype(dtype), k2.astype(dtype), (1, 1, 1),
-        [(0, 1)] * 3, dimension_numbers=dn)          # [N, D, H, W, 8*cout]
-    y = y.reshape(N, D, H, W, 2, 2, 2, cout)
-    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
-    return y.reshape(N, 2 * D, 2 * H, 2 * W, cout)
+    return packed3d_interleave(
+        deconv3d_s2_packed_out(x, kernel, dtype).astype(dtype))
 
 
 def deconv3d_ps_shuffle(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -1006,17 +1000,7 @@ def deconv3d_ps_shuffle(x: jnp.ndarray, kernel: jnp.ndarray,
     """
     N, D, H, W, cin = x.shape
     cout = kernel.shape[-1]
-    k2 = _conv_shuffle_kernel(kernel).astype(dtype)    # out (pz, ph, pw, co)
-    x = x.astype(dtype)
-    xpd = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
-    y = None
-    for bz in range(2):
-        sl = xpd[:, bz:bz + D].reshape(N * D, H, W, cin)
-        dn = jax.lax.conv_dimension_numbers(sl.shape, k2[bz].shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-        t = _conv(sl, k2[bz], (1, 1), [(0, 1), (0, 1)],
-                  dimension_numbers=dn)
-        y = t if y is None else y + t
+    y = deconv3d_s2_packed_out(x, kernel, dtype)       # (pz, ph, pw, co)
     y = y.reshape(N, D, H, W, 2, 2, 2 * cout)
     y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6))        # pz -> D, ph -> H
     return y.reshape(N, 2 * D, 2 * H, 2 * W, cout)

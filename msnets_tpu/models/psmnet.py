@@ -172,6 +172,7 @@ class MSPSMNet(nn.Module):
         # remat the full-res dres chain and the classifier heads too — the
         # hourglasses alone leave the dres/classifier BN f32 residuals live
         # through the backward (182 MB over HBM at the reference recipe)
+        assert self.remat_scope in ("all", "hourglass"), self.remat_scope
         cbn, clf = ConvBN3D, _Classifier
         if self.remat and self.remat_scope == "all":
             cbn = nn.remat(ConvBN3D, static_argnums=(2, 3, 4))

@@ -115,10 +115,27 @@ class StereoServer:
         # with zeros, NaN-poison the output — layers.py static guard). The
         # server has no calibration pass of its own: calibrate via the
         # Evaluator (or one calib-mode forward) and pass quant_stats in.
-        if "quant_stats" in variables:
-            keep["quant_stats"] = variables["quant_stats"]
-        elif (getattr(cfg.model, "quant_eval", False)
-              and getattr(cfg.model, "quant_mode", "dynamic") == "static"):
+        static_quant = (getattr(cfg.model, "quant_eval", False)
+                        and getattr(cfg.model, "quant_mode", "dynamic")
+                        == "static")
+        qs = variables.get("quant_stats")
+        if qs is not None:
+            import jax.tree_util as jtu
+            leaves = jtu.tree_leaves_with_path(qs)
+            zero = [jtu.keystr(p) for p, v in leaves
+                    if not np.any(np.asarray(v))]
+            if len(zero) == len(leaves):
+                # init-fresh collection: every scale would be 0 -> NaN
+                # poison (layers.py static guard). Treat as uncalibrated.
+                qs = None
+            elif zero and static_quant:
+                raise ValueError(
+                    "StereoServer: quant_stats has zero (uncalibrated) "
+                    f"absmax for layers {zero} — calibrate on a more "
+                    "representative frame or disable quant_eval")
+        if qs is not None:
+            keep["quant_stats"] = qs
+        elif static_quant:
             raise ValueError(
                 "StereoServer: quant_mode='static' needs calibrated "
                 "quant_stats in `variables` (run one quant_mode='calib' "

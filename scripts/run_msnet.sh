@@ -70,10 +70,13 @@ COMMON_ARGS=(--crop_height="$CROP_HEIGHT" --crop_width="$CROP_WIDTH"
   --middlebury="$MIDDLEBURY" --model_name="$MODEL_NAME"
   --resultDir="$RESULTDIR" --sf_frames="$SF_FRAME" --mesh="$MESH")
 # optional knobs (forwarded only when set): REMAT=1/0, REMAT_SCOPE=all|hourglass,
-# QUANT_EVAL=1 (+QUANT_MODE=static|dynamic) for int8 eval
+# QUANT_EVAL=1 (+QUANT_MODE=dynamic|static, QUANT_SCOPE=all|stem) for int8
+# eval. QUANT_MODE default matches the CLI default (dynamic) so the same
+# flags mean the same run through either launch path.
 [ -n "${REMAT:-}" ] && { [ "$REMAT" -eq 1 ] && COMMON_ARGS+=(--remat) || COMMON_ARGS+=(--no_remat); }
 [ -n "${REMAT_SCOPE:-}" ] && COMMON_ARGS+=(--remat_scope="$REMAT_SCOPE")
-[ -n "${QUANT_EVAL:-}" ] && COMMON_ARGS+=(--quant_eval="$QUANT_EVAL" --quant_mode="${QUANT_MODE:-static}")
+[ -n "${QUANT_EVAL:-}" ] && COMMON_ARGS+=(--quant_eval="$QUANT_EVAL" --quant_mode="${QUANT_MODE:-dynamic}")
+[ -n "${QUANT_SCOPE:-}" ] && COMMON_ARGS+=(--quant_scope="$QUANT_SCOPE")
 
 case "$TASK_TYPE" in
   loop-train)

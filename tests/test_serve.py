@@ -41,6 +41,13 @@ def test_server_static_quant_needs_calibrated_scales():
                            jnp.zeros(fs, jnp.float32), train=False)
     with pytest.raises(ValueError, match="quant_stats"):
         StereoServer(qcfg, variables)
+    # an init-fresh ALL-ZERO quant_stats is equally uncalibrated (static
+    # scales of 0 would NaN-poison every output) -> same loud failure
+    qvars = build_model(qcfg.model).init(
+        jax.random.PRNGKey(0), jnp.zeros(fs, jnp.float32), train=False)
+    assert "quant_stats" in qvars
+    with pytest.raises(ValueError, match="quant_stats"):
+        StereoServer(qcfg, qvars)
     # calibrate with one calib-mode forward, then the server accepts it
     calib_model = build_model(dataclasses.replace(
         qcfg.model, quant_mode="calib"))
