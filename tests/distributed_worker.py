@@ -12,8 +12,16 @@ Also runs in a single-process control mode (pid == -1): 2 virtual local
 devices, same mesh shape, batches assembled from both host shards — the
 ground truth the distributed metrics must match bit-for-bit.
 
+Mesh shapes (6th arg, default "2,1,1"):
+  * "2,1,1" — data parallel: per-host input shards, gradient psum + BN
+    cross-replica stats across the process boundary
+  * "1,2,1" — spatial (H) sharding: GSPMD halo exchanges for every 3-D conv
+    cross the process boundary
+  * "1,1,2" — disparity sharding: the softmax/soft-argmin reductions cross
+    the process boundary
+
 Usage: python -m tests.distributed_worker <coordinator> <nproc> <pid>
-           <data_root> <list_path>
+           <data_root> <list_path> [mesh_shape]
 """
 import json
 import os
@@ -22,6 +30,8 @@ import sys
 
 def main():
     coordinator, nproc, pid, data_root, lst = sys.argv[1:6]
+    mesh_shape = tuple(int(v) for v in
+                       (sys.argv[6] if len(sys.argv) > 6 else "2,1,1").split(","))
     nproc, pid = int(nproc), int(pid)
     single_process_control = pid < 0
 
@@ -48,8 +58,8 @@ def main():
         assert len(jax.devices()) == nproc
         assert len(jax.local_devices()) == 1
 
-    mesh = pm.make_mesh(devices=jax.devices())   # 2 devices -> (data=2,1,1)
-    assert mesh.devices.shape == (2, 1, 1), mesh.devices.shape
+    mesh = pm.make_mesh(shape=mesh_shape, devices=jax.devices())
+    data_hosts = mesh_shape[0]                   # data-axis process count
 
     mcfg = MatchingConfig(board_h=4)
     cfg = Config(
@@ -64,15 +74,23 @@ def main():
     def host_pipe(host_id):
         return TrainPipeline(cfg.data, mcfg, cfg.train.crop_height,
                              cfg.train.crop_width, cfg.model.max_disp,
-                             batch_size=1, seed=7, num_threads=1,
-                             num_hosts=2, host_id=host_id)
+                             batch_size=2 // data_hosts, seed=7,
+                             num_threads=1, num_hosts=data_hosts,
+                             host_id=host_id)
 
     trainer = Trainer(cfg, mesh=mesh)
     rep = pm.shard(mesh, pm.REPLICATED)
 
-    def globalize(local_np, spec):
-        return jax.make_array_from_process_local_data(
-            pm.shard(mesh, spec), np.asarray(local_np))
+    def globalize(local_np, spec, full_batch):
+        s = pm.shard(mesh, spec)
+        a = np.asarray(local_np)
+        if data_hosts == 2 and not single_process_control:
+            # DP: each process holds only ITS batch half -> local-data path
+            return jax.make_array_from_process_local_data(s, a)
+        # spatial/disp sharding (or the control): every process has the
+        # full global batch; the callback serves each addressable shard
+        assert full_batch
+        return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
 
     with mesh:
         state = trainer.init_state(trainer.feats_shape_for(2), seed=0)
@@ -82,7 +100,8 @@ def main():
         lr = jax.make_array_from_process_local_data(
             rep, np.asarray(1e-3, np.float32))
 
-        if single_process_control:
+        full_batch = single_process_control or data_hosts == 1
+        if single_process_control and data_hosts == 2:
             # assemble the global batch from BOTH host shards, in host order
             pipes = [host_pipe(0), host_pipe(1)]
             streams = [p.epoch(1) for p in pipes]
@@ -94,8 +113,10 @@ def main():
                     if isinstance(locals_[0][k], np.ndarray) else locals_[0][k]
                     for k in locals_[0]})
         else:
+            # DP workers: own shard; spatial/disp modes: every process
+            # streams the IDENTICAL full batch (data axis unsharded)
             batches = []
-            stream = host_pipe(hid).epoch(1)
+            stream = host_pipe(hid if data_hosts == 2 else 0).epoch(1)
             for _ in range(2):
                 batches.append(next(stream))
 
@@ -104,9 +125,12 @@ def main():
             fn = trainer.step_fn(batch["board_h"], batch["board_w_left"],
                                  batch["board_w_right"])
             state, metrics, _ = fn(state,
-                                   globalize(batch["iml"], pm.IMAGES),
-                                   globalize(batch["imr"], pm.IMAGES),
-                                   globalize(batch["disp"], pm.TARGET),
+                                   globalize(batch["iml"], pm.IMAGES,
+                                             full_batch),
+                                   globalize(batch["imr"], pm.IMAGES,
+                                             full_batch),
+                                   globalize(batch["disp"], pm.TARGET,
+                                             full_batch),
                                    lr)
             results.append({k: float(v) for k, v in metrics.items()})
 

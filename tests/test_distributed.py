@@ -51,14 +51,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch(coordinator, nproc, pid, data_root, lst):
+def _launch(coordinator, nproc, pid, data_root, lst, mesh="2,1,1"):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)              # worker sets its own device count
     env["PALLAS_AXON_POOL_IPS"] = ""        # short-circuit the axon backend
     env["JAX_PLATFORMS"] = "cpu"
     return subprocess.Popen(
         [sys.executable, "-m", "tests.distributed_worker", coordinator,
-         str(nproc), str(pid), data_root, lst],
+         str(nproc), str(pid), data_root, lst, mesh],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
 
@@ -71,11 +71,17 @@ def _result(out: str) -> dict:
 
 
 @pytest.mark.slow
-def test_two_process_mesh_trains_in_lockstep(tmp_path):
+@pytest.mark.parametrize("mesh", ["2,1,1", "1,2,1", "1,1,2"])
+def test_two_process_mesh_trains_in_lockstep(tmp_path, mesh):
+    """mesh="2,1,1": gradient psum + cross-replica BN stats cross the
+    process boundary. "1,2,1": the spatially-sharded 3-D convs' GSPMD halo
+    exchanges cross it. "1,1,2": the disparity softmax/soft-argmin
+    reductions cross it. Each must match a single-process 2-virtual-device
+    control bit-for-bit-ish."""
     lst = _make_tree(tmp_path)
     coordinator = f"localhost:{_free_port()}"
 
-    procs = [_launch(coordinator, 2, pid, str(tmp_path), lst)
+    procs = [_launch(coordinator, 2, pid, str(tmp_path), lst, mesh)
              for pid in range(2)]
     outs = []
     try:
@@ -100,7 +106,7 @@ def test_two_process_mesh_trains_in_lockstep(tmp_path):
 
     # and the distributed run equals a single-process 2-virtual-device
     # control fed the same per-host shards
-    ctrl = _launch("unused", 1, -1, str(tmp_path), lst)
+    ctrl = _launch("unused", 1, -1, str(tmp_path), lst, mesh)
     out, _ = ctrl.communicate(timeout=600)
     assert ctrl.returncode == 0, out
     rc = _result(out)
