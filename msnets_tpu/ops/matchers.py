@@ -49,11 +49,23 @@ def _shift_idx(W: int, ndisp: int):
 
 
 def shifted_over_disp(x: jnp.ndarray, ndisp: int, fill=0.0) -> jnp.ndarray:
-    """[H, W] -> [H, W, D] with out[:, j, d] = x[:, j-d] (``fill`` if j < d)."""
+    """[H, W] -> [H, W, D] with out[:, j, d] = x[:, j-d] (``fill`` if j < d).
+
+    Lowered as D static pad/slice ops stacked on the minor axis rather than
+    a gather with computed indices — slices fuse into the consuming stencil
+    loops (the zsad formulation's measured choice, and bench-neutral-or-
+    better for the other matchers)."""
     H, W = x.shape
-    idx, ok = _shift_idx(W, ndisp)
-    g = jnp.take(x, idx.reshape(-1), axis=1).reshape(H, W, ndisp)
-    return jnp.where(ok[None], g, jnp.asarray(fill, g.dtype))
+    cols = []
+    for d in range(ndisp):
+        if d == 0:
+            cols.append(x)
+        elif d < W:
+            cols.append(jnp.pad(x[:, :W - d], ((0, 0), (d, 0)),
+                                constant_values=fill))
+        else:
+            cols.append(jnp.full_like(x, fill))
+    return jnp.stack(cols, axis=-1)
 
 
 def _box_valid(x: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -134,11 +146,20 @@ def census(iml: jnp.ndarray, imr: jnp.ndarray, ndisp: int, wsize: int = 11) -> j
 
     dl = descriptors(iml)
     dr = descriptors(imr)
-    idx, ok = _shift_idx(W, ndisp)
-    # gather shifted right descriptors: [H, W, D, nwords]
-    dr_shift = jnp.take(dr, idx.reshape(-1), axis=1).reshape(H, W, ndisp, nwords)
-    ham = jax.lax.population_count(dl[:, :, None, :] ^ dr_shift)
-    cost = ham.sum(-1).astype(jnp.float32)
+    # shifted right descriptors as D static pad/slices (not a gather): the
+    # per-d XOR/popcount/word-sum ops fuse into one stencil pass instead of
+    # materializing the [H, W, D, nwords] gathered intermediate. Shifted-off
+    # columns (j < d) hold zero descriptors; the valid mask overwrites them.
+    cols = []
+    for d in range(ndisp):
+        if d == 0:
+            s = dr
+        elif d < W:
+            s = jnp.pad(dr[:, :W - d], ((0, 0), (d, 0), (0, 0)))
+        else:
+            s = jnp.zeros_like(dr)
+        cols.append(jax.lax.population_count(dl ^ s).sum(-1))
+    cost = jnp.stack(cols, axis=-1).astype(jnp.float32)
     mask = jnp.asarray(_valid_mask(H, W, ndisp, wsize))
     return jnp.where(mask, cost, INVALID)
 
@@ -190,9 +211,10 @@ def ncc_nister(iml: jnp.ndarray, imr: jnp.ndarray, ndisp: int, wsize: int = 3) -
     Rs = shifted_over_disp(R, ndisp)                       # [H, W, D]
     prod = L[:, :, None] * Rs
     S = _centre_pad(_box_valid(prod, wsize), H, W, wc)     # n-window sum of L*R_d
-    idx, _ = _shift_idx(W, ndisp)
-    Ar_s = jnp.take(Ar, idx.reshape(-1), axis=1).reshape(H, W, ndisp)
-    Cr_s = jnp.take(Cr, idx.reshape(-1), axis=1).reshape(H, W, ndisp)
+    # slice-form shifts (see shifted_over_disp); shifted-off columns only
+    # exist outside the valid mask. Cr fill = inf marks them non-finite.
+    Ar_s = shifted_over_disp(Ar, ndisp)
+    Cr_s = shifted_over_disp(Cr, ndisp, fill=np.inf)
     val = -(n * S - Al[:, :, None] * Ar_s) * Cl[:, :, None] * Cr_s
     finite = jnp.isfinite(Cl)[:, :, None] & jnp.isfinite(Cr_s)
     val = jnp.where(finite, val, 1.0)
@@ -224,8 +246,7 @@ def zsad(iml: jnp.ndarray, imr: jnp.ndarray, ndisp: int, wsize: int = 5) -> jnp.
         return _centre_pad(_box_valid(img, wsize) / n, H, W, wc)
 
     muL, muR = mean(L), mean(R)
-    idx, _ = _shift_idx(W, ndisp)
-    muR_s = jnp.take(muR, idx.reshape(-1), axis=1).reshape(H, W, ndisp)
+    muR_s = shifted_over_disp(muR, ndisp)
     K = muL[:, :, None] - muR_s                          # [H, W, D]
     T = L[:, :, None] - shifted_over_disp(R, ndisp)      # [H, W, D]
 
