@@ -315,23 +315,29 @@ def extract_pkrn(vol: jnp.ndarray, e: float, axis: int = -1) -> jnp.ndarray:
 
 @jax.jit
 def get_right_cost(cost_hwd: jnp.ndarray) -> jnp.ndarray:
-    """R[i, j, d] = L[i, j+d, d]; out-of-range filled with cost[0,0,0]."""
+    """R[i, j, d] = L[i, j+d, d]; out-of-range filled with cost[0,0,0].
+
+    Per-d static slices (not a per-pixel gather) — the same fusing
+    formulation as shifted_over_disp, just shifting each d-plane the other
+    way."""
     H, W, D = cost_hwd.shape
-    j = jnp.arange(W)[:, None]
-    d = jnp.arange(D)[None, :]
-    idx = j + d
-    ok = idx < W
-    g = jnp.take_along_axis(cost_hwd, jnp.clip(idx, 0, W - 1)[None], axis=1)
-    return jnp.where(ok[None], g, cost_hwd[0, 0, 0])
+    fill = cost_hwd[0, 0, 0]
+    cols = []
+    for d in range(D):
+        s = cost_hwd[:, d:, d] if d < W else cost_hwd[:, :0, 0]
+        pad = jnp.broadcast_to(fill, (H, min(d, W)))
+        cols.append(jnp.concatenate([s, pad], axis=1) if d else s)
+    return jnp.stack(cols, axis=-1)
 
 
 @jax.jit
 def get_left_cost(cost_hwd: jnp.ndarray) -> jnp.ndarray:
     """L[i, j, d] = R[i, j-d, d]; out-of-range filled with cost[0,0,0]."""
     H, W, D = cost_hwd.shape
-    j = jnp.arange(W)[:, None]
-    d = jnp.arange(D)[None, :]
-    idx = j - d
-    ok = idx >= 0
-    g = jnp.take_along_axis(cost_hwd, jnp.clip(idx, 0, W - 1)[None], axis=1)
-    return jnp.where(ok[None], g, cost_hwd[0, 0, 0])
+    fill = cost_hwd[0, 0, 0]
+    cols = []
+    for d in range(D):
+        s = cost_hwd[:, :W - d, d] if d < W else cost_hwd[:, :0, 0]
+        pad = jnp.broadcast_to(fill, (H, min(d, W)))
+        cols.append(jnp.concatenate([pad, s], axis=1) if d else s)
+    return jnp.stack(cols, axis=-1)
