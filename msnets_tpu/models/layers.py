@@ -1359,7 +1359,8 @@ class SubpixelSoftArgminHead(nn.Module):
         L = L.reshape(N, Db, Hb, Wb, 2, 2, 2, 2, 2, 2)
         red = (1, 4, 7)                       # Db, pz, qd: disparity states
         gmax = L.max(axis=red, keepdims=True).astype(jnp.float32)
-        e = jnp.exp(L.astype(jnp.float32) - gmax)
+        # e in model dtype with f32 accumulation — see _pzslab
+        e = jnp.exp(L.astype(jnp.float32) - gmax).astype(self.dtype)
         ar2 = jnp.arange(2, dtype=jnp.float32)
         w = (4.0 * jnp.arange(Db, dtype=jnp.float32)[:, None, None]
              + ar2[None, :, None] + 2.0 * ar2[None, None, :])  # [Db, pz, qd]
@@ -1368,8 +1369,9 @@ class SubpixelSoftArgminHead(nn.Module):
         # never materializes) benchmarked FLAT vs this einsum at bench
         # shapes (44.6-45.2 pairs/s both, ABAB) — XLA already keeps this
         # off the critical path, so the simpler einsum stays.
-        w2 = jnp.stack([w, jnp.ones_like(w)], axis=-1)
-        nd = jnp.einsum("nahwzyxdef,azdk->nhwyxefk", e, w2)
+        w2 = jnp.stack([w, jnp.ones_like(w)], axis=-1).astype(self.dtype)
+        nd = jnp.einsum("nahwzyxdef,azdk->nhwyxefk", e, w2,
+                        preferred_element_type=jnp.float32)
         disp = nd[..., 0] / nd[..., 1]        # [N, Hb, Wb, ph, pw, qh, qw]
         # output row = 4*Bh + 2*qh + ph, col = 4*Bw + 2*qw + pw
         out = jnp.transpose(disp, (0, 1, 5, 3, 2, 6, 4))
@@ -1451,14 +1453,20 @@ class SubpixelSoftArgminHead(nn.Module):
         L = L.reshape(N, Db, Hb, Wb // 2, 2, 2, 2, 2, 2, 2, 2)
         red = (1, 5, 8)                       # Db, pz, qd
         gmax = L.max(axis=red, keepdims=True).astype(jnp.float32)
-        e = jnp.exp(L.astype(jnp.float32) - gmax)
+        # e is stored in the model dtype: in bf16 it halves the HBM traffic
+        # of the 100M-element write + the einsum read; the num/den sums
+        # accumulate in f32 (preferred_element_type), so the per-term ~0.4%
+        # rounding averages out — same envelope as the bf16 logits choice
+        # (~0.1 px on random logits, inert at bad-3).
+        e = jnp.exp(L.astype(jnp.float32) - gmax).astype(self.dtype)
         ar2 = jnp.arange(2, dtype=jnp.float32)
         w = (4.0 * jnp.arange(Db, dtype=jnp.float32)[:, None, None]
              + ar2[None, :, None] + 2.0 * ar2[None, None, :])
         # one-pass num/den einsum (a fused reduce form measured FLAT here
         # too — see _packed)
-        w2 = jnp.stack([w, jnp.ones_like(w)], axis=-1)
-        nd = jnp.einsum("nahwuzyxdef,azdk->nhwuyxefk", e, w2)
+        w2 = jnp.stack([w, jnp.ones_like(w)], axis=-1).astype(self.dtype)
+        nd = jnp.einsum("nahwuzyxdef,azdk->nhwuyxefk", e, w2,
+                        preferred_element_type=jnp.float32)
         disp = nd[..., 0] / nd[..., 1]  # [N, Hb, W'b, u, ph, pw, qh, qw]
         # row = 4Bh + 2qh + ph; col = 4(2B'w + u) + 2qw + pw
         out = jnp.transpose(disp, (0, 1, 6, 4, 2, 3, 7, 5))
