@@ -1368,8 +1368,10 @@ class SubpixelSoftArgminHead(nn.Module):
         # A broadcast-multiply + reduce form (fusing exp into the pass so e
         # never materializes) benchmarked FLAT vs this einsum at bench
         # shapes (44.6-45.2 pairs/s both, ABAB) — XLA already keeps this
-        # off the critical path, so the simpler einsum stays.
-        w2 = jnp.stack([w, jnp.ones_like(w)], axis=-1).astype(self.dtype)
+        # off the critical path, so the simpler einsum stays. Weight dtype
+        # gate: see _pzslab (bf16 integer-exact only to 256).
+        wdt = self.dtype if 4 * Db - 1 <= 256 else jnp.float32
+        w2 = jnp.stack([w, jnp.ones_like(w)], axis=-1).astype(wdt)
         nd = jnp.einsum("nahwzyxdef,azdk->nhwyxefk", e, w2,
                         preferred_element_type=jnp.float32)
         disp = nd[..., 0] / nd[..., 1]        # [N, Hb, Wb, ph, pw, qh, qw]
@@ -1463,8 +1465,12 @@ class SubpixelSoftArgminHead(nn.Module):
         w = (4.0 * jnp.arange(Db, dtype=jnp.float32)[:, None, None]
              + ar2[None, :, None] + 2.0 * ar2[None, None, :])
         # one-pass num/den einsum (a fused reduce form measured FLAT here
-        # too — see _packed)
-        w2 = jnp.stack([w, jnp.ones_like(w)], axis=-1).astype(self.dtype)
+        # too — see _packed). The disparity weights stay in model dtype only
+        # while exactly representable there (bf16 is integer-exact to 256,
+        # i.e. max_disp <= 257); above that they stay f32 so the soft-argmin
+        # numerator carries no rounding bias at large disparities.
+        wdt = self.dtype if 4 * Db - 1 <= 256 else jnp.float32
+        w2 = jnp.stack([w, jnp.ones_like(w)], axis=-1).astype(wdt)
         nd = jnp.einsum("nahwuzyxdef,azdk->nhwuyxefk", e, w2,
                         preferred_element_type=jnp.float32)
         disp = nd[..., 0] / nd[..., 1]  # [N, Hb, W'b, u, ph, pw, qh, qw]

@@ -57,8 +57,25 @@ def main():
     from msnets_tpu.ops import matchers as M
     from msnets_tpu.config import INVALID
 
-    # inline slice-based census (descriptor packing identical to matchers)
+    # inline GATHER-based census — the pre-round-3 formulation, kept here
+    # verbatim so the A/B stays reproducible (matchers.census itself now
+    # uses the slice form this script justified)
     from msnets_tpu.ops.pallas.census_pallas import _pack_descriptors
+
+    def census_gather(iml, imr, ndisp, wsize=11):
+        Hh, Ww = iml.shape
+        dl = _pack_descriptors(iml, wsize)
+        dr = _pack_descriptors(imr, wsize)
+        j = jnp.arange(Ww)[:, None]
+        d = jnp.arange(ndisp)[None, :]
+        idx = jnp.clip(j - d, 0, Ww - 1)
+        nwords = dl.shape[-1]
+        dr_shift = jnp.take(dr, idx.reshape(-1), axis=1).reshape(
+            Hh, Ww, ndisp, nwords)
+        ham = jax.lax.population_count(dl[:, :, None, :] ^ dr_shift)
+        cost = ham.sum(-1).astype(jnp.float32)
+        mask = jnp.asarray(M._valid_mask(Hh, Ww, ndisp, wsize))
+        return jnp.where(mask, cost, INVALID)
 
     def census_sl(iml, imr, ndisp, wsize=11):
         Hh, Ww = iml.shape
@@ -88,11 +105,11 @@ def main():
     print("parity ok")
     sys.stdout.flush()
 
-    ms = timed(lambda x, y: (M.census(x, y, D),))
+    ms = timed(lambda x, y: (census_gather(x, y, D),))
     print(f"census gather : {ms:7.3f} ms")
     sys.stdout.flush()
-    ms = timed(lambda x, y: (census_sl(x, y, D),))
-    print(f"census slices : {ms:7.3f} ms")
+    ms = timed(lambda x, y: (M.census(x, y, D),))
+    print(f"census slices (matchers.census): {ms:7.3f} ms")
     sys.stdout.flush()
 
 

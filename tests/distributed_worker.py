@@ -81,7 +81,7 @@ def main():
     trainer = Trainer(cfg, mesh=mesh)
     rep = pm.shard(mesh, pm.REPLICATED)
 
-    def globalize(local_np, spec, full_batch):
+    def globalize(local_np, spec):
         s = pm.shard(mesh, spec)
         a = np.asarray(local_np)
         if data_hosts == 2 and not single_process_control:
@@ -89,7 +89,6 @@ def main():
             return jax.make_array_from_process_local_data(s, a)
         # spatial/disp sharding (or the control): every process has the
         # full global batch; the callback serves each addressable shard
-        assert full_batch
         return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
 
     with mesh:
@@ -100,7 +99,6 @@ def main():
         lr = jax.make_array_from_process_local_data(
             rep, np.asarray(1e-3, np.float32))
 
-        full_batch = single_process_control or data_hosts == 1
         if single_process_control and data_hosts == 2:
             # assemble the global batch from BOTH host shards, in host order
             pipes = [host_pipe(0), host_pipe(1)]
@@ -125,12 +123,9 @@ def main():
             fn = trainer.step_fn(batch["board_h"], batch["board_w_left"],
                                  batch["board_w_right"])
             state, metrics, _ = fn(state,
-                                   globalize(batch["iml"], pm.IMAGES,
-                                             full_batch),
-                                   globalize(batch["imr"], pm.IMAGES,
-                                             full_batch),
-                                   globalize(batch["disp"], pm.TARGET,
-                                             full_batch),
+                                   globalize(batch["iml"], pm.IMAGES),
+                                   globalize(batch["imr"], pm.IMAGES),
+                                   globalize(batch["disp"], pm.TARGET),
                                    lr)
             results.append({k: float(v) for k, v in metrics.items()})
 

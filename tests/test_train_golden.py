@@ -50,7 +50,9 @@ def _batches(mcfg):
     for step in range(STEPS):
         rng = np.random.default_rng((42, step))
         base = rng.integers(0, 256, (shape[0], shape[1] + 8)).astype(np.uint8)
-        iml, imr = base[:, 8:], base[:, :shape[1]]
+        # left[j] == right[j - 8] -> true disparity +8 (the matcher search
+        # direction; left = base[:, :W], right = base[:, 8:])
+        iml, imr = base[:, :shape[1]], base[:, 8:]
         gt = np.full((CROP_H, CROP_W), 8.0, np.float32)
         out.append((iml, imr, gt))
     return out
