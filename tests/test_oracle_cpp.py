@@ -1,5 +1,11 @@
-"""C++ host oracle vs NumPy oracle parity (skipped if the .so isn't built;
-``make -C cpp`` builds it)."""
+"""C++ host oracle vs NumPy oracle parity.
+
+Auto-builds the .so (``make -C cpp``, ~1 s) when it is missing so a fresh
+checkout never silently skips; skips only if the native toolchain itself
+is unavailable."""
+import os
+import subprocess
+
 import numpy as np
 import pytest
 
@@ -7,7 +13,12 @@ from msnets_tpu.ops import oracle_np as O
 
 ocpp = pytest.importorskip("msnets_tpu.ops.oracle_cpp")
 if not ocpp.available():
-    pytest.skip("cpp/libmsnets_oracle.so not built", allow_module_level=True)
+    cpp_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "cpp")
+    subprocess.run(["make", "-C", cpp_dir], capture_output=True)
+if not ocpp.available():
+    pytest.skip("cpp/libmsnets_oracle.so not built and `make -C cpp` failed",
+                allow_module_level=True)
 
 
 @pytest.fixture(scope="module")
