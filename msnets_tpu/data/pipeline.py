@@ -61,6 +61,28 @@ def read_rgb(path: str) -> np.ndarray:
     return img[:, :, ::-1].astype(np.uint8)  # BGR -> RGB
 
 
+def image_width(path: str) -> int:
+    """Image width from the file header without a full decode.
+
+    PNG (all the reference datasets' image files) and PFM/PGM/PPM headers
+    are sniffed directly (~tens of bytes); anything else falls back to a
+    full ``read_gray``. Used by the geometry-bucketed batch scheduler,
+    which needs per-entry crop geometry before loading any pixels."""
+    with open(path, "rb") as f:
+        head = f.read(64)
+    if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR":
+        return int.from_bytes(head[16:20], "big")
+    if head[:2] in (b"PF", b"Pf", b"P5", b"P6", b"P2", b"P3"):
+        # whitespace/comment-tolerant: width is the first integer token
+        with open(path, "rb") as f:
+            f.readline()                       # magic
+            line = f.readline()
+            while line.startswith(b"#"):
+                line = f.readline()
+            return int(line.split()[0])
+    return read_gray(path).shape[1]
+
+
 # ---------------------------------------------------------------------------
 # crop geometry
 # ---------------------------------------------------------------------------
@@ -237,8 +259,15 @@ class TrainPipeline:
         self.fixed_center = fixed_center
         self.entries = resolvers.load_list(data_cfg.training_list)
         self.cleanpass = match_cfg.sf_frames_type == "frames_cleanpass"
+        self.left_only = match_cfg.left_only
+        self._width_cache: dict = {}
 
     def steps_per_epoch(self) -> int:
+        """Upper bound (len // batch, the reference's get_dataloader_len,
+        funcs_utili.py:139-146); exact for single-geometry datasets. Mixed
+        geometries (narrow ETH3D images among wide ones) may drop one
+        partial bucket per geometry — ``len(self.batch_schedule(epoch))``
+        is the exact count for a given epoch."""
         n = len(self.entries) // self.num_hosts
         return n // self.batch_size
 
@@ -260,29 +289,115 @@ class TrainPipeline:
         rng = np.random.default_rng((self.seed, epoch, index))
         return make_train_sample(paths[0], paths[1], paths[2],
                                  self.crop_h, self.crop_w, self.max_disp,
-                                 self.cfg, rng, self.fixed_center)
+                                 self.cfg, rng, self.fixed_center,
+                                 left_only=self.left_only)
 
     def _load(self, epoch: int, index: int) -> TrainSample:
         return self.load_entry(self._epoch_entries[index], epoch, index)
+
+    # -- geometry-bucketed batch schedule ---------------------------------
+    def geometry_for_width(self, w: int) -> Tuple[int, int, int]:
+        """(board_h, bwl, bwr) crop_position would produce for image width
+        ``w`` — the margin-halving loop is a pure function of the width."""
+        bwl = self.max_disp
+        bwr = 0 if self.left_only else self.max_disp
+        while w - self.crop_w - bwl - bwr < 0:
+            if bwl == 0 and bwr == 0:
+                raise ValueError(f"image width {w} < crop width {self.crop_w}")
+            bwl //= 2
+            bwr //= 2
+        return (self.cfg.board_h, bwl, bwr)
+
+    def _entry_geometry(self, entry: str) -> Tuple[int, int, int]:
+        paths = resolvers.resolve(self.data_cfg.dataset,
+                                  self.data_cfg.data_path, entry,
+                                  self.cleanpass)
+        w = self._width_cache.get(paths[0])
+        if w is None:
+            w = image_width(paths[0])
+            self._width_cache[paths[0]] = w
+        return self.geometry_for_width(w)
+
+    def batch_schedule(self, epoch: int,
+                       entries: Optional[List[str]] = None):
+        """The epoch's batches as (geometry, [sample indices]) in yield order.
+
+        Samples are assigned to per-geometry buckets in shard order; a
+        bucket that reaches ``batch_size`` becomes the next batch. Narrow
+        images (whose margins halve, cbmv_generator.py:409-419) therefore
+        batch with each other instead of failing the mixed-geometry check —
+        the reference never batches narrow images at all (ETH3D trains at
+        batch 1 there). Partial buckets at epoch end drop (drop_last
+        semantics, main_msnet.py:98-105). Deterministic given (seed, epoch):
+        geometry needs only each entry's image width (header sniff, cached
+        across epochs) — never pixel data — so mid-epoch resume can skip
+        batches without loading them."""
+        if entries is None:
+            entries = self.shard_entries(epoch)
+        geoms = [self._entry_geometry(e) for e in entries]
+        if len(set(geoms)) == 1:
+            # single geometry (every reference dataset but mixed/narrow
+            # ones): contiguous batches, no bucketing bookkeeping
+            g0 = geoms[0]
+            n = len(entries) // self.batch_size
+            return [(g0, list(range(b * self.batch_size,
+                                    (b + 1) * self.batch_size)))
+                    for b in range(n)]
+        buckets: dict = {}
+        schedule = []
+        for i, g in enumerate(geoms):
+            b = buckets.setdefault(g, [])
+            b.append(i)
+            if len(b) == self.batch_size:
+                schedule.append((g, list(b)))
+                b.clear()
+        if self.num_hosts > 1:
+            # every host must enter the SAME number of jitted steps or the
+            # mesh collectives hang; truncate to the minimum schedule
+            # length across hosts (each host can compute every host's
+            # schedule — the permutation is (seed, epoch)-deterministic
+            # and widths come from the shared filesystem)
+            perm = np.random.default_rng(
+                (self.seed, epoch)).permutation(len(self.entries))
+            per_host = len(self.entries) // self.num_hosts
+            n_min = len(schedule)
+            for h in range(self.num_hosts):
+                if h == self.host_id:
+                    continue
+                sh = [self.entries[i] for i in perm[h::self.num_hosts][:per_host]]
+                counts: dict = {}
+                n_h = 0
+                for e in sh:
+                    g = self._entry_geometry(e)
+                    counts[g] = counts.get(g, 0) + 1
+                    if counts[g] == self.batch_size:
+                        counts[g] = 0
+                        n_h += 1
+                n_min = min(n_min, n_h)
+            schedule = schedule[:n_min]
+        return schedule
 
     def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[dict]:
         """Yield batches of stacked host arrays for one epoch.
 
         ``start_batch`` skips the first N batches WITHOUT loading them —
-        every sample is keyed by (seed, epoch, index), so resuming an
-        interrupted epoch at batch N replays exactly the batches an
-        uninterrupted run would have seen (step-granular recovery; the
-        reference's recovery granularity is a whole epoch,
-        do_main_msnet.sh:143-192)."""
+        every sample is keyed by (seed, epoch, index) and the batch
+        schedule is a pure function of (seed, epoch, entry widths), so
+        resuming an interrupted epoch at batch N replays exactly the
+        batches an uninterrupted run would have seen (step-granular
+        recovery; the reference's recovery granularity is a whole epoch,
+        do_main_msnet.sh:143-192).
+
+        Batches follow ``batch_schedule``: geometry-bucketed, so datasets
+        mixing narrow (margin-halved) and wide images train at batch > 1 —
+        each batch is single-geometry by construction."""
         # equal shard length on every host (len // num_hosts): with uneven
         # strided shards one host would run extra jitted steps the others
         # never enter — on a real multi-process mesh the collectives of
         # that step block forever. Coverage across epochs is preserved by
         # the per-epoch permutation (different entries drop each epoch).
         self._epoch_entries = self.shard_entries(epoch)
-        n_batches = len(self._epoch_entries) // self.batch_size
-        indices = range(start_batch * self.batch_size,
-                        n_batches * self.batch_size)
+        schedule = self.batch_schedule(epoch, self._epoch_entries)
 
         from collections import OrderedDict
         from concurrent.futures import ThreadPoolExecutor
@@ -294,7 +409,7 @@ class TrainPipeline:
         ahead = max(self.num_threads * 2, self.batch_size * 2)
         with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
             futures: "OrderedDict[int, object]" = OrderedDict()
-            it = iter(indices)
+            it = iter(i for _, idxs in schedule[start_batch:] for i in idxs)
 
             def top_up():
                 while len(futures) < ahead:
@@ -304,22 +419,15 @@ class TrainPipeline:
                     futures[i] = ex.submit(self._load, epoch, i)
 
             top_up()
-            for b in range(start_batch, n_batches):
-                samples = [futures.pop(b * self.batch_size + j).result()
-                           for j in range(self.batch_size)]
+            for g0, idxs in schedule[start_batch:]:
+                samples = [futures.pop(i).result() for i in idxs]
                 top_up()
-                g0 = (samples[0].board_h, samples[0].board_w_left,
-                      samples[0].board_w_right)
-                for s in samples[1:]:
+                for s in samples:
                     g = (s.board_h, s.board_w_left, s.board_w_right)
-                    # crop_position halves margins for narrow images
-                    # (ETH3D); a batch mixing margin geometries cannot be
-                    # stacked, and silently using samples[0]'s boards would
-                    # mis-trim the others' features on device — fail loudly
+                    # sanity: the width-derived schedule geometry must match
+                    # what make_train_sample actually produced
                     assert g == g0, (
-                        f"mixed margin geometry in one batch: {g} != {g0} "
-                        f"(narrow images halve margins; use batch_size=1 or "
-                        f"a single-geometry dataset)")
+                        f"schedule geometry {g0} != loaded geometry {g}")
                 yield {
                     "iml": np.stack([s.iml for s in samples]),
                     "imr": np.stack([s.imr for s in samples]),

@@ -23,6 +23,7 @@ def build_model(model_cfg, remat: bool = False, remat_scope: str = "all"):
     if model_cfg.name == "MS-PSMNet":
         return MSPSMNet(max_disp=model_cfg.max_disp,
                         in_channels=model_cfg.in_channels,
+                        base_filters=model_cfg.base_filters,
                         upscale=4 if model_cfg.quarter_input else 2,
                         quant_eval=getattr(model_cfg, "quant_eval", False),
                         quant_mode=getattr(model_cfg, "quant_mode", "dynamic"),

@@ -100,26 +100,31 @@ class _Classifier(nn.Module):
     cout=1 conv runs shift->std in packed space (its taps read the zeroed
     shift halo as padding), and the tiny 4-channel result is interleaved
     to [N, D, H, W, 1]. Param tree is identical to the full path."""
+    features: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, lin: str = "full"):
         from .layers import (Conv3D, _KernelHolder, conv3d_s1_hw_packed,
                              hw_unpack)
+        F = self.features
         if lin == "std":
-            h = nn.relu(ConvBN3D(32, 1, dtype=self.dtype, name="convbn")(
+            h = nn.relu(ConvBN3D(F, 1, dtype=self.dtype, name="convbn")(
                 x, train, "std", "shift"))
-            kernel = _KernelHolder((3, 3, 3, 32, 1), 3, name="conv")()
+            kernel = _KernelHolder((3, 3, 3, F, 1), 3, name="conv")()
             y = conv3d_s1_hw_packed(h, kernel.astype(self.dtype),
                                     self.dtype, to_shifted=False)
             return hw_unpack(y)
-        x = nn.relu(ConvBN3D(32, 1, dtype=self.dtype, name="convbn")(x, train))
+        x = nn.relu(ConvBN3D(F, 1, dtype=self.dtype, name="convbn")(x, train))
         return Conv3D(1, 1, 3, self.dtype, name="conv")(x)
 
 
 class MSPSMNet(nn.Module):
     max_disp: int = 192
     in_channels: int = 8
+    base_filters: int = 32         # reference hard-codes 32
+                                   # (psmnet_3dcnn.py:96-121); narrower
+                                   # widths exist for CPU-tractable goldens
     # upscale factor from the volume resolution to full resolution
     # (2 for half-res MS features, 4 for quarter-res)
     upscale: int = 2
@@ -152,6 +157,7 @@ class MSPSMNet(nn.Module):
         """cv: [N, D_in, H_in, W_in, C] ->
         train: (pred1, pred2, pred3) each [N, H_full, W_full]; eval: pred3."""
         dt = self.dtype
+        F = self.base_filters
         q = self.quant_eval and not train
         qm = self.quant_mode
         x = cv.astype(dt)
@@ -178,13 +184,13 @@ class MSPSMNet(nn.Module):
             cbn = nn.remat(ConvBN3D, static_argnums=(2, 3, 4))
             clf = nn.remat(_Classifier, static_argnums=(2, 3))
         if use_packed:
-            h = nn.relu(cbn(32, 1, dtype=dt, name="dres0_1")(
+            h = nn.relu(cbn(F, 1, dtype=dt, name="dres0_1")(
                 x, train, "full", "shift"))
-            cost0p = nn.relu(cbn(32, 1, dtype=dt, quant=q, quant_mode=qm, name="dres0_2")(
+            cost0p = nn.relu(cbn(F, 1, dtype=dt, quant=q, quant_mode=qm, name="dres0_2")(
                 h, train, "shift", "std"))
-            h = nn.relu(cbn(32, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_1")(
+            h = nn.relu(cbn(F, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_1")(
                 cost0p, train, "std", "shift"))
-            h = cbn(32, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_2")(
+            h = cbn(F, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_2")(
                 h, train, "shift", "std")
             cost0p = h + cost0p
             if train or self.packed_eval_outer:
@@ -198,21 +204,21 @@ class MSPSMNet(nn.Module):
                 cost0 = hw_unpack(cost0p)
                 hg1_in, hg1_lin = cost0p, "std"
         else:
-            h = nn.relu(cbn(32, 1, dtype=dt, name="dres0_1")(
+            h = nn.relu(cbn(F, 1, dtype=dt, name="dres0_1")(
                 x, train, "full", "full"))
-            cost0 = nn.relu(cbn(32, 1, dtype=dt, quant=q, quant_mode=qm, name="dres0_2")(
+            cost0 = nn.relu(cbn(F, 1, dtype=dt, quant=q, quant_mode=qm, name="dres0_2")(
                 h, train, "full", "full"))
-            h = nn.relu(cbn(32, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_1")(
+            h = nn.relu(cbn(F, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_1")(
                 cost0, train, "full", "full"))
             # quant=q here too so both branches request the same coverage
             # (in the full layout, stride-1 convs are quant no-ops — see
             # the ConvBN3D.quant gate note — so this only matters if the
             # gate ever widens).
-            h = cbn(32, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_2")(
+            h = cbn(F, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_2")(
                 h, train, "full", "full")
             cost0 = h + cost0
             hg1_in, hg1_lin = cost0, "full"
-        hg = lambda name: Hourglass(32, dtype=dt, quant=q, quant_mode=qm,
+        hg = lambda name: Hourglass(F, dtype=dt, quant=q, quant_mode=qm,
                                     remat_stages=self.remat, name=name)
         packed_outer = use_packed and (train or self.packed_eval_outer)
         lio = "std" if packed_outer else "full"
@@ -225,9 +231,9 @@ class MSPSMNet(nn.Module):
         out3, _, _ = hg("dres4")(out2, pre1, post2, train, lio, lio)
         out3 = out3 + skip
 
-        cost1 = clf(dtype=dt, name="classif1")(out1, train, lio)
-        cost2 = clf(dtype=dt, name="classif2")(out2, train, lio) + cost1
-        cost3 = clf(dtype=dt, name="classif3")(out3, train, lio) + cost2
+        cost1 = clf(features=F, dtype=dt, name="classif1")(out1, train, lio)
+        cost2 = clf(features=F, dtype=dt, name="classif2")(out2, train, lio) + cost1
+        cost3 = clf(features=F, dtype=dt, name="classif3")(out3, train, lio) + cost2
 
         def regress(c):
             # [N, D_in, H_in, W_in, 1] -> upsample -> [N, D, H, W] -> disparity

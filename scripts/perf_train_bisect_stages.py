@@ -65,10 +65,16 @@ def main():
             x, y, 192, mcfg, bh, bwl, 0, mcfg.left_only, jnp.bfloat16))(a, b)
 
     def chain(a):
-        """uint8 image perturbed by a zero derived from the carry."""
+        """uint8 image with a carry-derived data dependency XLA cannot fold.
+
+        The first version used carry*0 — XLA constant-folds x*0 -> 0 and
+        hoists the entire body out of the scan (stage (a) 'measured' 0.4 ms).
+        XORing the LSB with a data-dependent bit is unfoldable; it flips
+        pixel LSBs depending on the carry value, which is irrelevant for a
+        perf probe."""
         def inner(carry):
-            z = (carry.astype(jnp.int32) * 0).astype(jnp.uint8)
-            return a + z  # broadcast zero: real data dependency, no-op value
+            bit = (carry.astype(jnp.int32) & 1).astype(jnp.uint8)
+            return a ^ bit
         return inner
 
     def make_feats_loop(n):
@@ -76,7 +82,13 @@ def main():
         def loop():
             def body(carry, _):
                 f = feats(chain(iml)(carry), imr)
-                return jnp.sum(f.astype(jnp.float32)), None
+                # Full-volume sum as the carry, deliberately: a tiny-slice
+                # carry would let XLA slice backwards through the elementwise
+                # stages and DCE most of the work (the failure mode
+                # perf_shift_slices.py caught — see PERF.md). The sum fuses
+                # into the producer; measured cost <=0.2 ms, negligible vs
+                # the ~30 ms stage, so it does not distort the (b)-(a) delta.
+                return jnp.sum(f, dtype=jnp.float32), None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
             return out
         return loop

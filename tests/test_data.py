@@ -192,3 +192,69 @@ def test_resolve_rejects_unknown_dataset():
     from msnets_tpu.data import resolvers as R
     with pytest.raises(ValueError, match="unknown dataset"):
         R.resolve("kitti-2015", "/data", "foo.png")
+
+def _write_mixed_width_tree(root):
+    """4 wide (w=160) + 4 narrow (w=70) entries: the narrow images force
+    crop_position's margin halving (cbmv_generator.py:409-419)."""
+    import cv2
+    rng = np.random.default_rng(6)
+    entries = []
+    for i, w in enumerate([160, 70, 160, 70, 160, 70, 160, 70]):
+        h = 80
+        base = rng.integers(0, 256, (h, w + 8), dtype=np.uint8)
+        left, right = base[:, 8:], base[:, :w]
+        disp = np.full((h, w), 8.0, np.float32)
+        ldir = root / f"FlyingThings3D/frames_finalpass/TRAIN/A/{i:04d}/left"
+        rdir = root / f"FlyingThings3D/frames_finalpass/TRAIN/A/{i:04d}/right"
+        ddir = root / f"FlyingThings3D/disparity/TRAIN/A/{i:04d}/left"
+        for d in (ldir, rdir, ddir):
+            d.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(ldir / "0006.png"), left)
+        cv2.imwrite(str(rdir / "0006.png"), right)
+        pfmio.write_pfm(str(ddir / "0006.pfm"), disp)
+        entries.append(
+            f"FlyingThings3D/frames_finalpass/TRAIN/A/{i:04d}/left/0006.png")
+    lst = root / "train.list"
+    lst.write_text("\n".join(entries) + "\n")
+    return str(lst)
+
+
+def test_geometry_bucketed_batching_mixed_widths(tmp_path):
+    """Narrow (margin-halved, ETH3D-like) images batch at batch_size=2 with
+    each other instead of asserting (VERDICT r3 item 7): the schedule groups
+    samples by (board_h, bwl, bwr) and every yielded batch is
+    single-geometry."""
+    lst = _write_mixed_width_tree(tmp_path)
+    dc = DataConfig(data_path=str(tmp_path), training_list=lst)
+    mc = MatchingConfig(board_h=4)
+    pipe = P.TrainPipeline(dc, mc, crop_h=32, crop_w=64, max_disp=16,
+                           batch_size=2, seed=7, num_threads=2)
+    # width 70: 70-64-16 < 0 -> bwl 8 (72>70) -> bwl 4 (68<=70) OK
+    assert pipe.geometry_for_width(160) == (4, 16, 0)
+    assert pipe.geometry_for_width(70) == (4, 4, 0)
+    batches = list(pipe.epoch(1))
+    assert len(batches) == 4            # 2 wide + 2 narrow, none dropped
+    geoms = sorted((b["board_h"], b["board_w_left"], b["board_w_right"])
+                   for b in batches)
+    assert geoms == [(4, 4, 0), (4, 4, 0), (4, 16, 0), (4, 16, 0)]
+    for b in batches:
+        assert b["iml"].shape == (2, 32 + 8, 64 + b["board_w_left"])
+        assert b["disp"].shape == (2, 32, 64)
+    # determinism + mid-epoch resume: start_batch=2 replays the tail exactly
+    again = list(pipe.epoch(1))
+    for a, b in zip(batches, again):
+        np.testing.assert_array_equal(a["iml"], b["iml"])
+    tail = list(pipe.epoch(1, start_batch=2))
+    assert len(tail) == 2
+    for a, b in zip(batches[2:], tail):
+        np.testing.assert_array_equal(a["iml"], b["iml"])
+        assert a["board_w_left"] == b["board_w_left"]
+
+
+def test_image_width_header_sniff(tmp_path):
+    import cv2
+    img = np.zeros((10, 37), np.uint8)
+    cv2.imwrite(str(tmp_path / "a.png"), img)
+    assert P.image_width(str(tmp_path / "a.png")) == 37
+    pfmio.write_pfm(str(tmp_path / "a.pfm"), np.zeros((10, 23), np.float32))
+    assert P.image_width(str(tmp_path / "a.pfm")) == 23

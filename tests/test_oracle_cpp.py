@@ -15,10 +15,17 @@ ocpp = pytest.importorskip("msnets_tpu.ops.oracle_cpp")
 if not ocpp.available():
     cpp_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "cpp")
-    subprocess.run(["make", "-C", cpp_dir], capture_output=True)
+    _build_err = ""
+    try:
+        _proc = subprocess.run(["make", "-C", cpp_dir], capture_output=True,
+                               text=True)
+        if _proc.returncode != 0:
+            _build_err = (_proc.stderr or _proc.stdout or "")[-500:]
+    except OSError as e:  # `make` itself missing: fall through to the skip
+        _build_err = str(e)
 if not ocpp.available():
-    pytest.skip("cpp/libmsnets_oracle.so not built and `make -C cpp` failed",
-                allow_module_level=True)
+    pytest.skip("cpp/libmsnets_oracle.so not built and `make -C cpp` failed: "
+                + _build_err, allow_module_level=True)
 
 
 @pytest.fixture(scope="module")

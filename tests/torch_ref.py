@@ -101,21 +101,21 @@ class TorchPSMNet(nn.Module):
     """Stacked-hourglass regularizer (the *intended* MS-PSMNet, with the
     reference's defects fixed: 8-ch input, upsample sized from the volume)."""
 
-    def __init__(self, max_disp=32, cin=8, upscale=2):
+    def __init__(self, max_disp=32, cin=8, upscale=2, F=32):
         super().__init__()
         self.max_disp = max_disp
         self.upscale = upscale
-        self.dres0 = nn.Sequential(_cbn(cin, 32), nn.ReLU(inplace=True),
-                                   _cbn(32, 32), nn.ReLU(inplace=True))
-        self.dres1 = nn.Sequential(_cbn(32, 32), nn.ReLU(inplace=True),
-                                   _cbn(32, 32))
-        self.dres2 = TorchHourglass(32)
-        self.dres3 = TorchHourglass(32)
-        self.dres4 = TorchHourglass(32)
+        self.dres0 = nn.Sequential(_cbn(cin, F), nn.ReLU(inplace=True),
+                                   _cbn(F, F), nn.ReLU(inplace=True))
+        self.dres1 = nn.Sequential(_cbn(F, F), nn.ReLU(inplace=True),
+                                   _cbn(F, F))
+        self.dres2 = TorchHourglass(F)
+        self.dres3 = TorchHourglass(F)
+        self.dres4 = TorchHourglass(F)
 
         def classifier():
-            return nn.Sequential(_cbn(32, 32), nn.ReLU(inplace=True),
-                                 nn.Conv3d(32, 1, 3, padding=1, bias=False))
+            return nn.Sequential(_cbn(F, F), nn.ReLU(inplace=True),
+                                 nn.Conv3d(F, 1, 3, padding=1, bias=False))
         self.classif1 = classifier()
         self.classif2 = classifier()
         self.classif3 = classifier()
