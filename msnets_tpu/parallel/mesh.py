@@ -107,10 +107,14 @@ def replicate(x):
     restores bit-level agreement with the unsharded graph. Cheap: kernels
     are KB-sized and replicated anyway.
 
-    Re-checked 2026-08-20 on jax 0.9.0 (round 3): with this pin disabled
-    the serve sharded test still miscomputes — the workaround remains
-    load-bearing on current XLA. Re-probe on toolchain upgrades by stubbing
-    ``pm.replicate = lambda x: x`` and running that test.
+    Re-checked 2026-08-20 on jax 0.9.0 (rounds 3 and 4): still required.
+    A standalone ~50-line repro lives in
+    ``scripts/repro_gspmd_kernel_bug.py`` (4 chained stride-2 convs with
+    computed kernels + shrinking constrain_volume-style re-annotations;
+    rel maxdiff 1.0 unpinned vs 3e-7 pinned) — run it on every toolchain
+    bump; it prints PASS(bug fixed) when the pin can be retired. The
+    in-tree check is tests/test_serve.py::test_serve_sharded_mesh_matches_
+    unsharded with ``pm.replicate`` stubbed to identity.
     """
     mesh = _ACTIVE_MESH[-1] if _ACTIVE_MESH else None
     if mesh is None or not hasattr(x, "ndim"):

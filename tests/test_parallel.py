@@ -98,3 +98,21 @@ def test_entry_compiles_single_device():
 def test_dryrun_multichip_all_sizes():
     import __graft_entry__ as ge
     ge.dryrun_multichip(2)
+
+
+def test_gspmd_kernel_bug_probe_script():
+    """The standalone miscompile repro (scripts/repro_gspmd_kernel_bug.py)
+    must itself stay healthy: exit 1 (bug present, the jax<=0.9.0 state) or
+    0 (fixed — time to retire the pmesh.replicate pin), never crash. Its
+    internal assert guarantees the PINNED run matches single-device."""
+    import os
+    import subprocess
+    import sys
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "repro_gspmd_kernel_bug.py")
+    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+    p = subprocess.run([sys.executable, script], capture_output=True,
+                       text=True, env=env, timeout=600)
+    assert p.returncode in (0, 1), (p.returncode, p.stdout, p.stderr)
+    assert ("FAIL(bug present)" in p.stdout) == (p.returncode == 1)
