@@ -100,6 +100,18 @@ def run_bench(iters: int = 20, warmup: int = 3):
     if os.environ.get("BENCH_DEBUG"):
         print(f"[bench] t1={t1*1e3:.1f}ms t{iters}={tn*1e3:.1f}ms "
               f"per_step={per_step*1e3:.3f}ms", file=sys.stderr)
+    # relay-health annotation (stderr, not the JSON line): the scan-delta
+    # cancels dispatch latency to first order, but a degraded relay still
+    # adds variance to the t1 subtraction — record the day's latency so a
+    # surprising bench number can be attributed (PERF.md round-3 serving
+    # recheck: same code, 3x relay latency, 32% "regression").
+    try:
+        from msnets_tpu.utils.profiling import relay_health
+        ms, healthy = relay_health(probes=3)
+        print(f"[bench] relay dispatch {ms:.1f} ms "
+              f"({'healthy' if healthy else 'DEGRADED'})", file=sys.stderr)
+    except Exception:
+        pass
     return BATCH / per_step
 
 

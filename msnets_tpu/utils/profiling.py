@@ -73,3 +73,35 @@ def device_memory_stats() -> Dict[str, float]:
         except Exception:
             pass
     return out
+
+
+NOMINAL_DISPATCH_MS = 35.0   # the axon relay's healthy per-dispatch latency
+
+
+def relay_dispatch_ms(probes: int = 5) -> float:
+    """Measured per-dispatch round-trip latency of the device backend.
+
+    Times a trivial jitted op including the device->host VALUE fetch (the
+    only thing that synchronizes through the axon relay) and returns the
+    best of ``probes`` runs in ms. On a healthy relay this is ~35 ms; on a
+    degraded day it has been observed at ~3x that — which silently pollutes
+    any wall-clock serving/bench number (PERF.md round-3 serving recheck:
+    127.4 vs 96.5 ms/frame across two days with identical code). Callers
+    should annotate results with this number and refuse to print headline
+    figures when it exceeds ~2x nominal."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1)
+    int(f(jnp.zeros((), jnp.int32)))          # compile + warm
+    best = float("inf")
+    for _ in range(probes):
+        t0 = time.perf_counter()
+        int(f(jnp.zeros((), jnp.int32)))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def relay_health(probes: int = 5):
+    """(dispatch_ms, healthy) — healthy = within 2x the nominal latency."""
+    ms = relay_dispatch_ms(probes)
+    return ms, ms <= 2.0 * NOMINAL_DISPATCH_MS

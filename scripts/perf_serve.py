@@ -46,6 +46,16 @@ def main():
     sv.warmup(shapes=[shape])
     print(f"[serve] compiled in {time.perf_counter() - t0:.1f} s", flush=True)
 
+    # relay-health guard: wall-clock serving numbers are meaningless on a
+    # degraded relay day (round 3 measured 127.4 vs 96.5 ms/frame with
+    # identical code — the relay, not the path; PERF.md). Probe dispatch
+    # latency first and annotate every result with it.
+    from msnets_tpu.utils.profiling import NOMINAL_DISPATCH_MS, relay_health
+    disp_ms, healthy = relay_health()
+    print(f"[serve] relay dispatch latency: {disp_ms:.1f} ms "
+          f"(nominal ~{NOMINAL_DISPATCH_MS:.0f}; "
+          f"{'healthy' if healthy else 'DEGRADED'})", flush=True)
+
     # blocking: one frame at a time, full round-trip each
     t0 = time.perf_counter()
     for i in range(n):
@@ -58,11 +68,17 @@ def main():
         pass
     dt_pipe = time.perf_counter() - t0
 
-    print(f"[serve] {shape} x {n} frames")
+    print(f"[serve] {shape} x {n} frames  "
+          f"[relay dispatch {disp_ms:.1f} ms]")
     print(f"  blocking: {1e3 * dt_block / n:7.1f} ms/frame = "
           f"{n / dt_block:5.2f} fps")
-    print(f"  pipelined (depth={depth}): {1e3 * dt_pipe / n:7.1f} ms/frame = "
-          f"{n / dt_pipe:5.2f} fps")
+    if healthy:
+        print(f"  pipelined (depth={depth}): {1e3 * dt_pipe / n:7.1f} "
+              f"ms/frame = {n / dt_pipe:5.2f} fps")
+    else:
+        print(f"  pipelined (depth={depth}): [NOT A HEADLINE NUMBER — relay "
+              f"degraded at {disp_ms:.1f} ms dispatch, > 2x nominal; raw: "
+              f"{1e3 * dt_pipe / n:.1f} ms/frame]")
     print(f"  stats: {sv.stats()}")
 
 
