@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
                         " per-layer scales from a one-shot calibration"
                         " forward on the first frame (no max pass; ~3%% "
                         "faster, out-of-range values saturate at +-127)")
+    p.add_argument("--features", type=str, default="ms",
+                   choices=["ms", "raw"],
+                   help="feature stage: 'ms' = matching-space volume (the "
+                        "paper); 'raw' = 2-channel raw-intensity concat "
+                        "volume [L(x), R(x-d)] — the no-matching ablation "
+                        "baseline for cross-domain experiments")
     # None -> model-dependent default in args_to_config (MS-PSMNet needs
     # remat at the reference recipe: 24.3G > 15.75G HBM without it)
     p.set_defaults(remat=None)
@@ -114,11 +120,13 @@ def args_to_config(a) -> Config:
     seed = a.seed if a.seed > 0 else int(time.time()) % (2 ** 31)
     remat = a.remat if a.remat is not None else (
         a.model_name == "MS-PSMNet" or TrainConfig.remat)
+    matching = MatchingConfig(sf_frames_type=a.sf_frames,
+                              num_channels=a.cbmv_F,
+                              features_mode=getattr(a, "features", "ms"))
     return Config(
-        matching=MatchingConfig(sf_frames_type=a.sf_frames,
-                                num_channels=a.cbmv_F),
+        matching=matching,
         model=ModelConfig(name=a.model_name, max_disp=a.max_disp,
-                          in_channels=a.cbmv_F,
+                          in_channels=matching.feature_channels,
                           compute_dtype=a.compute_dtype,
                           quant_eval=bool(a.quant_eval),
                           quant_mode=a.quant_mode,

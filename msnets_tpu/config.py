@@ -44,10 +44,22 @@ class MatchingConfig:
     board_h: int = 12        # vertical margin cropped off train samples
     ds_scale: int = 2        # features computed at 1/ds_scale resolution
     sf_frames_type: str = "frames_finalpass"
+    features_mode: str = "ms"  # "ms" = matching-space features (the paper);
+                               # "raw" = 2-channel raw-intensity concat
+                               # volume [L(x), R(x-d)] — the no-matching
+                               # ablation baseline (the paper's comparison
+                               # point: GCNet-style intensity volumes do not
+                               # generalize cross-domain, README.md:92-101)
 
     @property
     def left_only(self) -> bool:
         return self.num_channels == 8
+
+    @property
+    def feature_channels(self) -> int:
+        """Channels the feature stage actually emits (drives the model's
+        in_channels and the feature-volume shapes)."""
+        return 2 if self.features_mode == "raw" else self.num_channels
 
 
 @dataclasses.dataclass(frozen=True)

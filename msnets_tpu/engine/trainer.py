@@ -81,7 +81,7 @@ class Trainer:
         t, m = self.cfg.train, self.cfg.matching
         s = m.ds_scale
         return (batch_size, self.cfg.model.max_disp // s,
-                t.crop_height // s, t.crop_width // s, m.num_channels)
+                t.crop_height // s, t.crop_width // s, m.feature_channels)
 
     # -- the jitted step --------------------------------------------------
     def _build_step(self, board_h: int, bwl: int, bwr: int):

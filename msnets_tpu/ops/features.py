@@ -186,6 +186,32 @@ def from_ncdhw(f_cdhw: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(f_cdhw, -4, -1)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def raw_features(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
+                 board_h: int, board_w_left: int, board_w_right: int = 0,
+                 out_dtype=jnp.float32) -> jnp.ndarray:
+    """2-channel raw-intensity concat volume [D, H', W', 2], margins trimmed.
+
+    The no-matching ablation baseline (MatchingConfig.features_mode="raw"):
+    channel 0 = L(x)/255 broadcast over d, channel 1 = R(x-d)/255 (zero
+    where x-d < 0) — GCNet's concat cost volume with the unary feature net
+    replaced by the pixel itself. Exists to demonstrate the paper's central
+    claim mechanically: matching-space inputs generalize across texture /
+    photometric domains where intensity inputs do not (reference
+    README.md:92-101).
+    """
+    H, W = iml.shape
+    L = iml.astype(out_dtype) / np.float32(255.0)
+    R = imr.astype(jnp.float32) / np.float32(255.0)
+    # slice-form shifts (cheap static pads, like the matchers)
+    Rs = jnp.stack([jnp.pad(R[:, :W - d], ((0, 0), (d, 0))).astype(out_dtype)
+                    for d in range(maxdisp)], axis=0)       # [D, H, W]
+    f = jnp.stack([jnp.broadcast_to(L, Rs.shape), Rs], axis=-1)
+    h_end = H - board_h if board_h > 0 else H
+    w_end = W - board_w_right if board_w_right > 0 else W
+    return f[:, board_h:h_end, board_w_left:w_end, :]
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def ms_features(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
                 cfg: MatchingConfig, board_h: int, board_w_left: int,
@@ -196,7 +222,12 @@ def ms_features(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
     uint8 [H, W] x2 -> features [D, H', W', C] with margins trimmed.
     ``maxdisp`` and the margins must already be at the working resolution
     (callers divide by ds_scale, cf. cbmv_generator.py:667-675).
+    ``cfg.features_mode="raw"`` dispatches to the raw-intensity ablation
+    volume instead of the matching-space stack.
     """
+    if cfg.features_mode == "raw":
+        return raw_features(iml, imr, maxdisp, board_h, board_w_left,
+                            board_w_right, out_dtype)
     costs = compute_costs(iml, imr, maxdisp, cfg.censw, cfg.nccw, cfg.sadw,
                           cfg.sobelw, board_h, board_w_left, board_w_right)
     if left_only:

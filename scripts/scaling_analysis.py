@@ -125,6 +125,8 @@ def eval_fwd_hlo(mesh):
 
 def main():
     import jax
+    jax.config.update("jax_platforms", "cpu")   # sitecustomize forces axon;
+    # env vars alone are not honored once it ran (see .claude/skills/verify)
     from msnets_tpu.parallel import mesh as pm
     devs = jax.devices()
     results = {}

@@ -213,3 +213,30 @@ def test_cli_train_then_test_16ch(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "AVG EPE" in out
     assert os.path.exists(os.path.join(res, "0.pfm"))
+
+
+def test_cli_train_then_test_raw_features(tmp_path, capsys):
+    """--features=raw (2-channel intensity concat volume, the no-matching
+    ablation baseline) trains and tests through the full CLI — the vehicle
+    for the cross-domain generalization experiment."""
+    lst = _make_tree(tmp_path)
+    ckpt_dir = str(tmp_path / "ck")
+    argv = ["--mode=train", "--crop_height=64", "--crop_width=128",
+            "--max_disp=32", "--batchSize=2", "--nEpochs=1", "--seed=7",
+            "--features=raw",
+            f"--data_path={tmp_path}", f"--training_list={lst}",
+            f"--test_list={lst}", f"--checkpoint_dir={ckpt_dir}",
+            "--train_logdir=", "--log_summary_step=50",
+            "--threads=2", "--compute_dtype=float32", "--no_remat"]
+    cli.main(argv)
+    ck = os.path.join(ckpt_dir, "MS-GCNet", "model_epoch_00001.msgpack")
+    assert os.path.exists(ck)
+    res = str(tmp_path / "results")
+    argv = ["--mode=test", "--crop_height=96", "--crop_width=192",
+            "--max_disp=32", "--features=raw",
+            f"--data_path={tmp_path}", f"--test_list={lst}",
+            f"--resume={ck}", f"--resultDir={res}",
+            "--compute_dtype=float32"]
+    cli.main(argv)
+    out = capsys.readouterr().out
+    assert "AVG EPE" in out
