@@ -583,10 +583,17 @@ class PackedPhaseBN(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((C,), jnp.float32))
         yf = y.astype(jnp.float32)
-        s = yf.reshape(-1, P, C)
+        # split ONLY the minor channel dim into (P, C): a flat
+        # reshape(-1, P, C) merges the sharded N/D/H/W dims, which GSPMD
+        # cannot keep partitioned — it all-gathered the full f32 volume on
+        # every sharded train step (13 GB/step on a 2-way disp mesh,
+        # scripts/scaling_analysis.py). Keeping the major dims intact lets
+        # the sums reduce locally with one small cross-chip psum.
+        s = yf.reshape(yf.shape[:-1] + (P, C))
+        red = tuple(range(s.ndim - 1))
         n = float(self.valid_count)
-        mean = s.sum(axis=(0, 1)) / n
-        var = (s * s).sum(axis=(0, 1)) / n - mean * mean
+        mean = s.sum(axis=red) / n
+        var = (s * s).sum(axis=red) / n - mean * mean
         if not self.is_initializing():
             m = self.momentum
             ra_mean.value = m * ra_mean.value + (1 - m) * mean

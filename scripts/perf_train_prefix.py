@@ -90,10 +90,13 @@ def main():
                 # bit-identical while staying data-dependent
                 z = jnp.minimum(jnp.abs(carry), 1e-30).astype(feats.dtype)
                 v, g = vg(state.params, feats + z)
-                # cheap but non-sliceable carry: the loss + one grad leaf norm
-                lead = jax.tree.leaves(g)[0]
-                return v.astype(jnp.float32) + jnp.sum(
-                    lead.astype(jnp.float32) ** 2), None
+                # EVERY grad leaf must feed the carry: with only one leaf
+                # consumed, XLA DCEs the dW computation of all the others
+                # (caught comparing against perf_train_bisect_stages — the
+                # first version under-measured the backward by ~2x)
+                gn = sum(jnp.sum(l.astype(jnp.float32) ** 2)
+                         for l in jax.tree.leaves(g))
+                return v.astype(jnp.float32) + gn, None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
             return out
         return loop
