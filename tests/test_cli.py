@@ -181,6 +181,7 @@ def test_cli_train_then_test(tmp_path, capsys, monkeypatch):
     assert os.path.exists(os.path.join(res, "0.pfm"))
 
 
+@pytest.mark.slow
 def test_cli_train_then_test_16ch(tmp_path, capsys):
     """End-to-end cbmv_F=16 (left+right features, extract_features_lr
     semantics — reference cbmv_generator.py:84-254): one CLI train epoch at
@@ -215,6 +216,7 @@ def test_cli_train_then_test_16ch(tmp_path, capsys):
     assert os.path.exists(os.path.join(res, "0.pfm"))
 
 
+@pytest.mark.slow
 def test_cli_train_then_test_raw_features(tmp_path, capsys):
     """--features=raw (2-channel intensity concat volume, the no-matching
     ablation baseline) trains and tests through the full CLI — the vehicle

@@ -130,6 +130,7 @@ def test_evaluator_quant_static_lazy_calibration(cfg, trained):
                jax.tree_util.tree_leaves(ev.variables["quant_stats"]))
 
 
+@pytest.mark.slow
 def test_evaluator_quant_static_allzero_stats_recalibrates(cfg, trained):
     """A checkpoint whose quant_stats collection is fresh from init (all
     zeros) must be treated as uncalibrated — static scales of 0 would
@@ -152,6 +153,7 @@ def test_evaluator_quant_static_allzero_stats_recalibrates(cfg, trained):
     assert out["frames"] == 4 and np.isfinite(out["avg_epe"])
 
 
+@pytest.mark.slow
 def test_evaluator_quant_static_recalibrates_per_new_shape(cfg, trained):
     """Mixed-shape test sets: the static-quant Evaluator max-accumulates
     per-layer absmax on the first frame of every NEW input shape, so later
@@ -267,6 +269,7 @@ def test_resume_from_reference_torch_tar(cfg, tmp_path):
         bs, tm.state_dict()["conv3dbn_1.1.running_mean"].numpy(), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_single_step_on_duplicated_batch(cfg):
     """With two identical micro-batches, accum=2 must produce exactly the
     same parameter update as the plain batch-1 step (each micro sees the
@@ -355,6 +358,7 @@ def test_async_checkpointer_surfaces_writer_errors(tmp_path):
         ac.wait()
 
 
+@pytest.mark.slow
 def test_step_granular_crash_resume_matches_uninterrupted(cfg):
     """Kill-and-resume mid-epoch must be invisible: train one epoch
     uninterrupted -> A; train the same epoch but 'crash' after batch 1,

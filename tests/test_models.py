@@ -13,6 +13,11 @@ from msnets_tpu.models.torch_convert import convert_state_dict
 torch = pytest.importorskip("torch")
 from . import torch_ref  # noqa: E402
 
+# heavy cross-implementation equivalence suite: deselect together with slow
+# for the <2 min inner loop (pytest -m "not slow and not parity"); CI runs
+# everything
+pytestmark = pytest.mark.parity
+
 
 def _t2j_in(x_nchw):
     """torch [N, C, D, H, W] -> flax [N, D, H, W, C]."""

@@ -14,6 +14,10 @@ from msnets_tpu.config import (Config, DataConfig, MatchingConfig, ModelConfig,
 from msnets_tpu.engine import Trainer
 from msnets_tpu.parallel import mesh as pm
 
+# heavy sharded-vs-unsharded equivalence suite (minutes on the virtual
+# mesh): out of the <2 min inner loop, in CI
+pytestmark = pytest.mark.parity
+
 
 def _cfg(batch):
     return Config(

@@ -27,6 +27,7 @@ def _server(buckets, max_disp=32):
     return StereoServer(cfg, variables, buckets=buckets)
 
 
+@pytest.mark.slow
 def test_server_static_quant_needs_calibrated_scales():
     """quant_mode='static' without quant_stats must fail LOUDLY at server
     construction (not silently saturate); with calibrated stats it serves."""
@@ -81,6 +82,7 @@ def test_pad_to_bucket_convention():
     np.testing.assert_array_equal(il[:, 3:], 0)
 
 
+@pytest.mark.slow
 def test_exact_mode_matches_reference_padding():
     """Exact mode (buckets=None) must reproduce the minimal pad-to-32
     path bit-for-bit: pick_bucket returns the exact_bucket shape, so the
