@@ -100,7 +100,8 @@ def _quant_kernels(ks):
 
 def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                  pad: int, dtype, decompose: bool = True,
-                 quantized: bool = False, act_scale=None) -> jnp.ndarray:
+                 quantized: bool = False, act_scale=None,
+                 force_s2d: bool = False) -> jnp.ndarray:
     """3-D convolution, NDHWC x DHWIO.
 
     ``decompose=True`` (default) lowers *stride-1* convs to kd batched 2-D
@@ -118,7 +119,12 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     if (stride == 2 and decompose and (kd, kh, kw) == (3, 3, 3) and pad == 1
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
             and x.shape[3] % 2 == 0
-            and x.shape[1] * x.shape[2] * x.shape[3] >= _S2_HW_S2D_MIN_VOXELS):
+            and (force_s2d or x.shape[1] * x.shape[2] * x.shape[3]
+                 >= _S2_HW_S2D_MIN_VOXELS)):
+        # force_s2d: train-mode callers take the s2d form below the eval
+        # voxel gate too — the stride-1 2-D convs' VJPs are stride-1 convs,
+        # beating XLA's dense lhs_dilation backward for the native strided
+        # form (full step 159.2 -> 155.8 ms, scripts/perf_train_s2d_gate.py)
         return conv3d_s2_hw_s2d(x, kernel, dtype, quantized=quantized,
                                 act_scale=act_scale)
     if stride != 1:
@@ -664,7 +670,8 @@ class ConvBN3D(nn.Module):
                 x = conv3d_s2_hw_s2d(x, kernel.astype(self.dtype),
                                      self.dtype, packed_input=True)
             else:
-                x = conv3d_ndhwc(x, kernel, self.stride, k // 2, self.dtype)
+                x = conv3d_ndhwc(x, kernel, self.stride, k // 2, self.dtype,
+                                 force_s2d=(self.stride == 2))
             x = pmesh.constrain_volume(x)
             return bn(x.astype(jnp.float32)).astype(self.dtype)
         a, b = _bn_affine(bn, self.features)
