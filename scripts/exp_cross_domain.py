@@ -40,8 +40,11 @@ import tempfile
 
 import numpy as np
 
-D_BG = (6, 20)          # background plane disparity range (full-res px)
-D_FG = (24, 120)        # foreground shape disparities (D=192 search range)
+D_BG = (8, 24)          # background plane disparity range (full-res px)
+D_FG = (28, 72)         # foreground shape disparities — capped so the
+                        # semi-occluded bands (width = d_fg - d_bg, left of
+                        # each shape) stay realistic; the first cut went to
+                        # 120 and occlusions alone contributed ~15 px EPE
 
 
 # ---------------------------------------------------------------------------
@@ -58,21 +61,26 @@ def texture_A(rng, h, w):
 
 
 def texture_B(rng, h, w):
-    """High-frequency oriented stripes / checkerboards, gamma-warped."""
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    """High-frequency APERIODIC texture, gamma-warped.
+
+    Random-dot fields / binarized noise — very different statistics from
+    family A's smooth blotches, but matchable in principle (periodic
+    stripes/checkerboards were tried first and make matching ill-posed:
+    d and d +- lambda are indistinguishable, so EVERY method fails and the
+    experiment shows nothing)."""
+    import cv2
     if rng.random() < 0.5:
-        lam = float(rng.uniform(4, 12))
-        ang = float(rng.uniform(0, np.pi))
-        ph = float(rng.uniform(0, 2 * np.pi))
-        t = 0.5 * (1 + np.sin(2 * np.pi * (np.cos(ang) * xx
-                                           + np.sin(ang) * yy) / lam + ph))
+        # random dots at a coarse cell size (classic random-dot stereogram)
+        s = int(rng.integers(2, 5))
+        g = (rng.random((h // s + 1, w // s + 1)) < 0.5).astype(np.float32)
+        t = cv2.resize(g, (w, h), interpolation=cv2.INTER_NEAREST)
     else:
-        s = int(rng.integers(3, 9))
-        t = (((xx // s).astype(int) + (yy // s).astype(int)) % 2).astype(
-            np.float32)
-        t = 0.15 + 0.7 * t
+        # binarized band-limited noise (aperiodic speckle)
+        g = rng.random((h // 3 + 1, w // 3 + 1)).astype(np.float32)
+        t = cv2.resize(g, (w, h), interpolation=cv2.INTER_LINEAR)
+        t = (t > np.median(t)).astype(np.float32)
     gamma = float(rng.choice([0.45, 1.0, 2.2]))
-    t = np.power(np.clip(t, 0.0, 1.0), gamma)
+    t = np.power(np.clip(t * 0.8 + 0.1, 0.0, 1.0), gamma)
     lo, hi = rng.uniform(0, 60), rng.uniform(180, 255)
     return (lo + t * (hi - lo)).astype(np.float32)
 
@@ -82,11 +90,19 @@ def texture_B(rng, h, w):
 # ---------------------------------------------------------------------------
 
 def render_scene(rng, h, w, family):
-    """(left, right, disp) uint8/uint8/float32, layered, L(x) = R(x-d)."""
+    """(left, right, disp) uint8/uint8/float32, layered, L(x) = R(x-d).
+
+    GT disparity is OCCLUSION-MASKED like the datasets' noc ground truth:
+    left pixels whose right-view location is covered by a nearer layer (or
+    falls off the right frame) get GT 0 = invalid under the eval mask
+    (0.001 <= gt). Semi-occluded bands are unmatchable in principle; with
+    full GT there they contributed ~15 px EPE of pure guessing noise to
+    every method and drowned the domain signal."""
     tex = texture_A if family == "A" else texture_B
     left = np.zeros((h, w), np.float32)
     right = np.zeros((h, w), np.float32)
     disp = np.zeros((h, w), np.float32)
+    rdisp = np.zeros((h, w), np.float32)   # right-view z-buffer (disparity)
 
     def paint(d, mask_ext, t_ext):
         """One layer at disparity d. mask_ext/t_ext on extended left
@@ -96,6 +112,7 @@ def render_scene(rng, h, w, family):
         left[ml] = t_ext[:, :w][ml]
         right[mr] = t_ext[:, d:d + w][mr]
         disp[ml] = float(d)
+        rdisp[mr] = float(d)
 
     # background plane
     d0 = int(rng.integers(*D_BG))
@@ -126,8 +143,16 @@ def render_scene(rng, h, w, family):
         bias = float(rng.uniform(-15, 15))
         right = right * gain + bias
 
+    # occlusion mask (noc GT): left pixel x at disparity d is scoreable iff
+    # its right-view location x-d is in-frame and still shows THIS layer
+    yy, xx = np.mgrid[0:h, 0:w]
+    xr = xx - disp.astype(int)
+    vis = xr >= 0
+    vis[vis] = rdisp[yy[vis], xr[vis]] == disp[vis]
+    disp = np.where(vis, disp, 0.0)
+
     u8 = lambda a: np.clip(a, 0, 255).astype(np.uint8)
-    return u8(left), u8(right), disp
+    return u8(left), u8(right), disp.astype(np.float32)
 
 
 def write_sf_tree(root, n, h, w, family, seed, test=False):
