@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -554,6 +556,62 @@ def _bn_affine(bn: nn.Module, features: int):
     return a.reshape(-1), b.reshape(-1)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _phase_bn_apply(y, scale, bias, P, n):
+    """Batch-stat normalization of a phase-packed volume (the differentiable
+    core of PackedPhaseBN) with a hand-written VJP.
+
+    Why custom: autodiff keeps the f32 upcast of the volume as a backward
+    residual (plus f32 intermediates), which at train shapes stores GB-scale
+    f32 copies per BN stage — the reason MS-PSMNet needed remat-all at the
+    reference recipe. This VJP saves only the bf16/model-dtype input y and
+    the per-channel (mean, inv) vectors; the f32 upcast is recomputed in
+    backward, which is EXACT (upcasting the stored y reproduces the forward
+    bit-for-bit). Halo semantics: callers zero out-of-image entries before
+    the call and after it, so cotangents at halo positions are zeroed
+    downstream; the sums here deliberately run over all positions with the
+    logical divisor n, exactly like the forward.
+    """
+    return _phase_bn_fwd(y, scale, bias, P, n)[0]
+
+
+def _phase_bn_fwd(y, scale, bias, P, n):
+    C = scale.shape[0]
+    yf = y.astype(jnp.float32)
+    # minor-dim split only: a flat reshape(-1, P, C) merges sharded
+    # N/D/H/W dims and forces GSPMD to all-gather the volume
+    # (scripts/scaling_analysis.py)
+    s = yf.reshape(yf.shape[:-1] + (P, C))
+    red = tuple(range(s.ndim - 1))
+    mean = s.sum(axis=red) / n
+    var = (s * s).sum(axis=red) / n - mean * mean
+    rinv = jax.lax.rsqrt(var + 1e-5)                  # gamma-free
+    a = jnp.tile(rinv * scale, P)
+    b = jnp.tile(bias - mean * rinv * scale, P)
+    out = (yf * a + b).astype(y.dtype)
+    return out, (y, scale, mean, rinv)
+
+
+def _phase_bn_bwd(P, n, res, g):
+    y, scale, mean, rinv = res
+    C = scale.shape[0]
+    yf = y.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    sh = yf.shape[:-1] + (P, C)
+    red = tuple(range(len(sh) - 1))
+    xhat = (yf.reshape(sh) - mean) * rinv             # [..., P, C]
+    gs = gf.reshape(sh)
+    sg = gs.sum(axis=red)                             # [C]
+    sgx = (gs * xhat).sum(axis=red)                   # [C]
+    # dL/dy = gamma*rinv * (g - (sg + xhat*sgx)/n)
+    dy = (scale * rinv) * (gs - (sg + xhat * sgx) / n)
+    dy = dy.reshape(y.shape).astype(y.dtype)
+    return dy, sgx, sg
+
+
+_phase_bn_apply.defvjp(_phase_bn_fwd, _phase_bn_bwd)
+
+
 class PackedPhaseBN(nn.Module):
     """Train-mode BatchNorm on a phase-packed volume [N, D, Hb, Wb, P*C]
     (channel order (phase, c)) with halo-masked statistics.
@@ -582,32 +640,32 @@ class PackedPhaseBN(nn.Module):
     @nn.compact
     def __call__(self, y):
         C, P = self.features, self.phases
+        assert self.epsilon == 1e-5, "custom VJP hardcodes eps=1e-5"
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((C,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((C,), jnp.float32))
-        yf = y.astype(jnp.float32)
-        # split ONLY the minor channel dim into (P, C): a flat
-        # reshape(-1, P, C) merges the sharded N/D/H/W dims, which GSPMD
-        # cannot keep partitioned — it all-gathered the full f32 volume on
-        # every sharded train step (13 GB/step on a 2-way disp mesh,
-        # scripts/scaling_analysis.py). Keeping the major dims intact lets
-        # the sums reduce locally with one small cross-chip psum.
-        s = yf.reshape(yf.shape[:-1] + (P, C))
-        red = tuple(range(s.ndim - 1))
         n = float(self.valid_count)
-        mean = s.sum(axis=red) / n
-        var = (s * s).sum(axis=red) / n - mean * mean
+        # normalization runs through the custom-VJP core: autodiff would
+        # keep the volume's f32 upcast (plus intermediates) as backward
+        # residuals — GB-scale f32 copies per stage at train shapes, the
+        # reason MS-PSMNet needed remat-all. The custom backward stores
+        # only (y, mean, rinv) and re-upcasts y exactly.
+        out = _phase_bn_apply(y, scale, bias, P, n)
         if not self.is_initializing():
+            # running-stat update; the identical sums inside the custom-vjp
+            # forward CSE with these in the compiled graph
+            yf = jax.lax.stop_gradient(y).astype(jnp.float32)
+            s = yf.reshape(yf.shape[:-1] + (P, C))
+            red = tuple(range(s.ndim - 1))
+            mean = s.sum(axis=red) / n
+            var = (s * s).sum(axis=red) / n - mean * mean
             m = self.momentum
             ra_mean.value = m * ra_mean.value + (1 - m) * mean
             ra_var.value = m * ra_var.value + (1 - m) * var
-        inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        a = jnp.tile(inv, P)
-        b = jnp.tile(bias - mean * inv, P)
-        return (yf * a + b).astype(y.dtype)
+        return out
 
 
 class ConvBN3D(nn.Module):

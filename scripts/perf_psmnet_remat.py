@@ -22,8 +22,9 @@ def probe(scope: str):
     cfg = Config(matching=mcfg,
                  model=ModelConfig(name="MS-PSMNet", max_disp=192),
                  train=TrainConfig(crop_height=256, crop_width=512,
-                                   batch_size=2, remat=True,
-                                   remat_scope=scope),
+                                   batch_size=2, remat=(scope != "none"),
+                                   remat_scope="all" if scope == "none"
+                                   else scope),
                  data=DataConfig())
     tr = Trainer(cfg)
     state = tr.init_state(tr.feats_shape_for(2))

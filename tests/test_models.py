@@ -843,3 +843,36 @@ def test_psmnet_quant_static_calibration():
     df = np.asarray(mf.apply(v, cv, False))
     assert ds.shape == df.shape
     assert np.mean(np.abs(ds - df)) < 0.25, np.mean(np.abs(ds - df))
+
+
+def test_phase_bn_custom_vjp_matches_autodiff():
+    """The hand-written PackedPhaseBN backward (layers._phase_bn_apply, which
+    stores only (y, mean, rinv) instead of autodiff's f32 volume residuals)
+    must produce the same gradients as differentiating the plain formula."""
+    from msnets_tpu.models.layers import _phase_bn_apply
+    rng = np.random.default_rng(0)
+    P, C = 4, 6
+    y = jnp.asarray(rng.normal(size=(2, 3, 4, 5, P * C)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    n = float(2 * 3 * 4 * 5 * P)
+    g = jnp.asarray(rng.normal(size=y.shape).astype(np.float32))
+
+    def plain(y, scale, bias):
+        yf = y.astype(jnp.float32)
+        s = yf.reshape(yf.shape[:-1] + (P, C))
+        red = tuple(range(s.ndim - 1))
+        mean = s.sum(axis=red) / n
+        var = (s * s).sum(axis=red) / n - mean * mean
+        inv = jax.lax.rsqrt(var + 1e-5) * scale
+        return (yf * jnp.tile(inv, P)
+                + jnp.tile(bias - mean * inv, P)).astype(y.dtype)
+
+    out_c, vjp_c = jax.vjp(lambda *a: _phase_bn_apply(*a, P, n),
+                           y, scale, bias)
+    out_p, vjp_p = jax.vjp(plain, y, scale, bias)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_p),
+                               rtol=1e-6, atol=1e-6)
+    for a, b, name in zip(vjp_c(g), vjp_p(g), ("dy", "dscale", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5, err_msg=name)
