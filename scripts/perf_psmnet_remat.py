@@ -66,4 +66,9 @@ def probe(scope: str):
 
 if __name__ == "__main__":
     for s in (sys.argv[1:] or ["all", "hourglass"]):
-        probe(s)
+        try:
+            probe(s)
+        except Exception as e:  # OOM-at-compile etc. — keep probing others
+            print(f"scope={s}: FAILED ({type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:160]})")
+            sys.stdout.flush()
