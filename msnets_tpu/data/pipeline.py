@@ -74,12 +74,17 @@ def image_width(path: str) -> int:
         return int.from_bytes(head[16:20], "big")
     if head[:2] in (b"PF", b"Pf", b"P5", b"P6", b"P2", b"P3"):
         # whitespace/comment-tolerant: width is the first integer token
+        # after the magic. PNM allows the whole header on ONE line
+        # ("P5 640 480 255\n"), so tokenize the leading bytes rather than
+        # assuming one field per line.
         with open(path, "rb") as f:
-            f.readline()                       # magic
-            line = f.readline()
-            while line.startswith(b"#"):
-                line = f.readline()
-            return int(line.split()[0])
+            buf = f.read(256)
+        tokens = []
+        for raw in buf.splitlines():
+            line = raw.split(b"#", 1)[0]       # strip comments
+            tokens.extend(line.split())
+            if len(tokens) >= 2:
+                return int(tokens[1])
     return read_gray(path).shape[1]
 
 
@@ -335,46 +340,62 @@ class TrainPipeline:
         if entries is None:
             entries = self.shard_entries(epoch)
         geoms = [self._entry_geometry(e) for e in entries]
-        if len(set(geoms)) == 1:
-            # single geometry (every reference dataset but mixed/narrow
-            # ones): contiguous batches, no bucketing bookkeeping
+        if len(set(geoms)) == 1 and self.num_hosts == 1:
+            # single host, single geometry (every reference dataset but
+            # mixed/narrow ones): contiguous batches, no bookkeeping
             g0 = geoms[0]
             n = len(entries) // self.batch_size
             return [(g0, list(range(b * self.batch_size,
                                     (b + 1) * self.batch_size)))
                     for b in range(n)]
-        buckets: dict = {}
+
+        def bucketize(gs):
+            """{geometry: [[idx batch], ...]} in shard order."""
+            buckets: dict = {}
+            done: dict = {}
+            for i, g in enumerate(gs):
+                b = buckets.setdefault(g, [])
+                b.append(i)
+                if len(b) == self.batch_size:
+                    done.setdefault(g, []).append(list(b))
+                    b.clear()
+            return done
+
+        if self.num_hosts == 1:
+            # preserve shard-order interleaving of geometries
+            buckets: dict = {}
+            schedule = []
+            for i, g in enumerate(geoms):
+                b = buckets.setdefault(g, [])
+                b.append(i)
+                if len(b) == self.batch_size:
+                    schedule.append((g, list(b)))
+                    b.clear()
+            return schedule
+        mine = bucketize(geoms)
+        # multi-host: every host must enter the SAME SEQUENCE of jitted
+        # steps — same count AND same geometry per step (each geometry
+        # compiles a different program; mismatched programs at one step
+        # hang the mesh collectives just like mismatched counts). Build a
+        # canonical sequence every host derives identically: per-geometry
+        # batch counts are truncated to the minimum across hosts (each host
+        # can compute every host's shard — the permutation is (seed, epoch)
+        # -deterministic and widths come from the shared filesystem), then
+        # batches run grouped by sorted geometry key.
+        perm = np.random.default_rng(
+            (self.seed, epoch)).permutation(len(self.entries))
+        per_host = len(self.entries) // self.num_hosts
+        min_counts = {g: len(bs) for g, bs in mine.items()}
+        for h in range(self.num_hosts):
+            if h == self.host_id:
+                continue
+            sh = [self.entries[i] for i in perm[h::self.num_hosts][:per_host]]
+            theirs = bucketize([self._entry_geometry(e) for e in sh])
+            for g in list(min_counts):
+                min_counts[g] = min(min_counts[g], len(theirs.get(g, [])))
         schedule = []
-        for i, g in enumerate(geoms):
-            b = buckets.setdefault(g, [])
-            b.append(i)
-            if len(b) == self.batch_size:
-                schedule.append((g, list(b)))
-                b.clear()
-        if self.num_hosts > 1:
-            # every host must enter the SAME number of jitted steps or the
-            # mesh collectives hang; truncate to the minimum schedule
-            # length across hosts (each host can compute every host's
-            # schedule — the permutation is (seed, epoch)-deterministic
-            # and widths come from the shared filesystem)
-            perm = np.random.default_rng(
-                (self.seed, epoch)).permutation(len(self.entries))
-            per_host = len(self.entries) // self.num_hosts
-            n_min = len(schedule)
-            for h in range(self.num_hosts):
-                if h == self.host_id:
-                    continue
-                sh = [self.entries[i] for i in perm[h::self.num_hosts][:per_host]]
-                counts: dict = {}
-                n_h = 0
-                for e in sh:
-                    g = self._entry_geometry(e)
-                    counts[g] = counts.get(g, 0) + 1
-                    if counts[g] == self.batch_size:
-                        counts[g] = 0
-                        n_h += 1
-                n_min = min(n_min, n_h)
-            schedule = schedule[:n_min]
+        for g in sorted(min_counts):
+            schedule.extend((g, b) for b in mine[g][:min_counts[g]])
         return schedule
 
     def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[dict]:

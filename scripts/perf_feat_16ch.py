@@ -10,23 +10,12 @@ discipline (PERF.md). The 16-ch assembly adds the right-view re-indexing
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-import time
 import numpy as np
+
+from _perf_common import scan_time as _scan_time
 
 N_ITERS = 10
 H, W, D = 256, 512, 192
-
-
-def _scan_time(make_loop):
-    loop_n, loop_1 = make_loop(N_ITERS), make_loop(1)
-    float(loop_n()); float(loop_1())
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter(); float(loop_n()); tn = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(loop_1()); t1 = time.perf_counter() - t0
-        dt = (tn - t1) / (N_ITERS - 1)
-        best = dt if best is None else min(best, dt)
-    return best
 
 
 def main():

@@ -15,24 +15,11 @@ the relay, not the chip; see PERF.md timing discipline.)
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-import time
 import numpy as np
 
+from _perf_common import scan_time
+
 N_ITERS = 10
-
-
-def _scan_time(make_loop):
-    """make_loop(n) -> jitted fn returning a scalar; scan-delta timing."""
-    loop_n, loop_1 = make_loop(N_ITERS), make_loop(1)
-    out = float(loop_n())          # compile + warm
-    float(loop_1())
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter(); float(loop_n()); tn = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(loop_1()); t1 = time.perf_counter() - t0
-        dt = (tn - t1) / (N_ITERS - 1)
-        best = dt if best is None else min(best, dt)
-    return best, out
 
 
 def main():
@@ -123,9 +110,9 @@ def main():
             return out
         return loop
 
-    ta, _ = _scan_time(make_feats_loop)
-    tb, _ = _scan_time(make_fwd_loop)
-    tc, _ = _scan_time(make_step_loop)
+    ta = scan_time(make_feats_loop, N_ITERS)
+    tb = scan_time(make_fwd_loop, N_ITERS)
+    tc = scan_time(make_step_loop, N_ITERS)
 
     print(f"(a) features only      : {ta*1e3:7.1f} ms (batch 2)")
     print(f"(b) features+fwd+loss  : {tb*1e3:7.1f} ms -> model fwd ~ {(tb-ta)*1e3:.1f}")

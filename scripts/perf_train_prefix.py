@@ -19,24 +19,13 @@ head + loss. Scan-delta timing per PERF.md discipline.
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-import time
 import numpy as np
+
+from _perf_common import scan_time
 
 N_ITERS = 8
 STAGES = ["stem", "block1", "block2", "block3", "block4",
           "deconv1", "deconv2", "deconv3", "full"]
-
-
-def _scan_time(make_loop):
-    loop_n, loop_1 = make_loop(N_ITERS), make_loop(1)
-    float(loop_n()); float(loop_1())
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter(); float(loop_n()); tn = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(loop_1()); t1 = time.perf_counter() - t0
-        dt = (tn - t1) / (N_ITERS - 1)
-        best = dt if best is None else min(best, dt)
-    return best
 
 
 def main():
@@ -104,7 +93,7 @@ def main():
     prev = 0.0
     print(f"{'stage':<10} {'fwd+bwd ms':>11} {'marginal ms':>12}")
     for s in STAGES:
-        t = _scan_time(lambda n, s=s: make_loop(s, n)) * 1e3
+        t = scan_time(lambda n, s=s: make_loop(s, n), N_ITERS) * 1e3
         print(f"{s:<10} {t:11.1f} {t - prev:12.1f}", flush=True)
         prev = t
 

@@ -50,17 +50,19 @@ WIRE_FACTOR = {"all-reduce": 1.0, "all-gather": 0.5, "reduce-scatter": 0.5,
 
 def collective_bytes(hlo_text: str):
     """{kind: (count, output_bytes)} summed over the module. Tuple-shaped
-    outputs (variadic all-reduce) sum their leaf shapes."""
+    outputs (variadic all-reduce) sum their leaf shapes. Asyncified
+    collectives (`all-reduce-start` etc.) count via their -start op; the
+    matching -done op is skipped so nothing double-counts."""
     out = defaultdict(lambda: [0, 0])
     shape_re = re.compile(r"(\w+)\[([\d,]*)\]")
     for line in hlo_text.splitlines():
         m = re.search(r"=\s*((?:\([^)]*\))|(?:\S+))\s+(" +
-                      "|".join(COLLECTIVES) + r")[(.]", line)
+                      "|".join(COLLECTIVES) + r")(-start|-done)?[(.]", line)
         if not m:
             continue
-        shapes, kind = m.group(1), m.group(2)
-        if kind + "-start" in line or kind + "-done" in line:
-            pass  # counted via the same regex on the start op only
+        shapes, kind, suffix = m.group(1), m.group(2), m.group(3)
+        if suffix == "-done":
+            continue
         nbytes = 0
         for dt, dims in shape_re.findall(shapes):
             if dt not in DTYPE_BYTES:

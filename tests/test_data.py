@@ -258,3 +258,40 @@ def test_image_width_header_sniff(tmp_path):
     assert P.image_width(str(tmp_path / "a.png")) == 37
     pfmio.write_pfm(str(tmp_path / "a.pfm"), np.zeros((10, 23), np.float32))
     assert P.image_width(str(tmp_path / "a.pfm")) == 23
+
+
+def test_multi_host_bucketed_schedule_lockstep(tmp_path):
+    """Multi-host schedules must agree step-by-step in GEOMETRY, not just
+    count: each geometry compiles a different program, so hosts entering
+    the same global step with different geometries hang the mesh exactly
+    like unequal step counts (code-review finding, round 4). Uses an
+    uneven wide/narrow mix so the hosts' shards bucket differently."""
+    import cv2
+    rng = np.random.default_rng(9)
+    entries = []
+    widths = [160, 160, 160, 160, 160, 70, 70, 70, 70, 160, 70, 160]
+    for i, w in enumerate(widths):
+        base = rng.integers(0, 256, (80, w + 8), dtype=np.uint8)
+        ldir = tmp_path / f"FlyingThings3D/frames_finalpass/TRAIN/A/{i:04d}/left"
+        rdir = tmp_path / f"FlyingThings3D/frames_finalpass/TRAIN/A/{i:04d}/right"
+        ddir = tmp_path / f"FlyingThings3D/disparity/TRAIN/A/{i:04d}/left"
+        for d in (ldir, rdir, ddir):
+            d.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(ldir / "0006.png"), base[:, 8:])
+        cv2.imwrite(str(rdir / "0006.png"), base[:, :w])
+        pfmio.write_pfm(str(ddir / "0006.pfm"),
+                        np.full((80, w), 8.0, np.float32))
+        entries.append(
+            f"FlyingThings3D/frames_finalpass/TRAIN/A/{i:04d}/left/0006.png")
+    lst = tmp_path / "train.list"
+    lst.write_text("\n".join(entries) + "\n")
+    dc = DataConfig(data_path=str(tmp_path), training_list=str(lst))
+    mc = MatchingConfig(board_h=4)
+    pipes = [P.TrainPipeline(dc, mc, 32, 64, 16, batch_size=2, seed=7,
+                             num_threads=1, num_hosts=2, host_id=h)
+             for h in range(2)]
+    for epoch in range(1, 4):
+        scheds = [p.batch_schedule(epoch) for p in pipes]
+        # same length AND same per-step geometry on every host
+        assert len(scheds[0]) == len(scheds[1]) > 0, (epoch, scheds)
+        assert [g for g, _ in scheds[0]] == [g for g, _ in scheds[1]], epoch
