@@ -28,6 +28,7 @@ T[:, d:d+w], the GT map takes d wherever the layer is the nearest visible
 one. Layers paint far -> near (nearer occludes).
 
 Usage: python scripts/exp_cross_domain.py [n_train] [n_epochs] [outdir]
+                                          [model_name]
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -236,6 +237,7 @@ def main():
     n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     root = sys.argv[3] if len(sys.argv) > 3 else tempfile.mkdtemp(
         prefix="msnets_xdom_")
+    model = sys.argv[4] if len(sys.argv) > 4 else "MS-GCNet"
     os.makedirs(root, exist_ok=True)
     h, w = 320, 768   # room for crop 256x512 + margins
 
@@ -250,18 +252,20 @@ def main():
         ck = os.path.join(root, f"ck_{mode}")
         print(f"[xdom] === training features={mode} "
               f"({n_train} scenes x {n_epochs} epochs) ===", flush=True)
-        _run_cli(["--mode=train", "--crop_height=256", "--crop_width=512",
+        _run_cli(["--mode=train", f"--model_name={model}",
+                  "--crop_height=256", "--crop_width=512",
                   "--max_disp=192", "--batchSize=2", f"--nEpochs={n_epochs}",
                   "--seed=3", f"--features={mode}", f"--data_path={root}",
                   f"--training_list={train_lst}", f"--test_list={evalA_lst}",
                   f"--checkpoint_dir={ck}", "--train_logdir=", "--threads=2",
                   "--lr=1e-3", "--log_summary_step=1000"])
-        ckpt = os.path.join(ck, "MS-GCNet",
+        ckpt = os.path.join(ck, model,
                             f"model_epoch_{n_epochs:05d}.msgpack")
         row = {}
         print(f"[xdom] eval features={mode} on family A (in-domain)",
               flush=True)
-        out = _run_cli(["--mode=test", "--crop_height=320",
+        out = _run_cli(["--mode=test", f"--model_name={model}",
+                        "--crop_height=320",
                         "--crop_width=768", "--max_disp=192",
                         f"--features={mode}", f"--data_path={root}",
                         f"--test_list={evalA_lst}", f"--resume={ckpt}",
@@ -270,7 +274,8 @@ def main():
         row["in_domain_A"] = _scores(out)
         print(f"\n[xdom] eval features={mode} on family B (cross-domain, "
               f"KITTI-native, bad-3)", flush=True)
-        out = _run_cli(["--mode=test", "--crop_height=384",
+        out = _run_cli(["--mode=test", f"--model_name={model}",
+                        "--crop_height=384",
                         "--crop_width=1248", "--max_disp=192",
                         f"--features={mode}", "--kitti2015=1",
                         f"--data_path={kroot}", f"--test_list={evalB_lst}",
