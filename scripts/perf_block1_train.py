@@ -72,18 +72,22 @@ def main():
 
             vg = jax.value_and_grad(loss_fn)
 
+            # x and params enter as jit ARGUMENTS: a closed-over concrete
+            # array bakes into the HLO as a literal and the 400 MB body
+            # exceeds the relay's request-size limit (HTTP 413)
             @jax.jit
-            def loop():
+            def loop(xx, params):
                 def body(carry, _):
-                    z = jnp.minimum(jnp.abs(carry), 1e-30).astype(x.dtype)
-                    val, g = vg(v["params"], x + z)
+                    z = jnp.minimum(jnp.abs(carry), 1e-30).astype(xx.dtype)
+                    val, g = vg(params, xx + z)
                     gn = sum(jnp.sum(l.astype(jnp.float32) ** 2)
                              for l in jax.tree.leaves(g))
                     return val.astype(jnp.float32) + gn, None
                 out, _ = jax.lax.scan(body, jnp.float32(0), None,
                                       length=n)
                 return out
-            return loop
+            import functools
+            return functools.partial(loop, x, v["params"])
 
         t = scan_time(make_loop, N_ITERS) * 1e3
         print(f"block1 train fwd+bwd [{name:6s}]: {t:7.1f} ms", flush=True)
