@@ -19,12 +19,18 @@ def probe(scope: str):
     from msnets_tpu.engine import Trainer
 
     mcfg = MatchingConfig()
+    # scope "accum": NO remat, batch 2 as two sequential micro-batches —
+    # activations halve (the no-remat batch-2 estimate is ~20 GiB) and no
+    # recompute is paid; BN stats thread sequentially (the established
+    # grad_accum semantics = consecutive reference steps)
     cfg = Config(matching=mcfg,
                  model=ModelConfig(name="MS-PSMNet", max_disp=192),
                  train=TrainConfig(crop_height=256, crop_width=512,
-                                   batch_size=2, remat=(scope != "none"),
-                                   remat_scope="all" if scope == "none"
-                                   else scope),
+                                   batch_size=2,
+                                   remat=scope not in ("none", "accum"),
+                                   remat_scope="all" if scope in
+                                   ("none", "accum") else scope,
+                                   grad_accum=2 if scope == "accum" else 1),
                  data=DataConfig())
     tr = Trainer(cfg)
     state = tr.init_state(tr.feats_shape_for(2))
@@ -40,8 +46,12 @@ def probe(scope: str):
     print(f"scope={scope}: temp {m.temp_size_in_bytes/gb:.2f} GiB, "
           f"peak ~= {peak:.2f} GiB (v5e 16)")
     sys.stdout.flush()
-    if peak > 14.5:
-        print(f"scope={scope}: SKIP execution (over budget)")
+    # XLA's static analysis overshoots the executed peak (round 3: 16.3 GiB
+    # estimated remat-all EXECUTED fine at 658.6 ms; round 4 estimates run
+    # ~1-2 GiB higher still while executing) — treat the estimate as
+    # relative and let execution be the real test up to a safety margin.
+    if peak > 18.5:
+        print(f"scope={scope}: SKIP execution (estimate far over budget)")
         return
 
     rng = np.random.default_rng(0)
