@@ -565,6 +565,13 @@ def _phase_bn_apply(y, scale, bias, P, n):
     """Batch-stat normalization of a phase-packed volume (the differentiable
     core of PackedPhaseBN) with a hand-written VJP.
 
+    Returns (out, mean, var) — the stats feed the running averages, so ONE
+    pass computes both (a separate stop_gradient'd stats computation risks
+    not CSE-ing with this forward and paying a second volume read).
+    GRADIENT CAVEAT: cotangents arriving on mean/var are DISCARDED — they
+    are only ever consumed by the undifferentiated running-average updates;
+    do not differentiate through these outputs.
+
     Why custom: autodiff keeps the f32 upcast of the volume as a backward
     residual (plus f32 intermediates), which at train shapes stores GB-scale
     f32 copies per BN stage — the reason MS-PSMNet needed remat-all at the
@@ -593,11 +600,12 @@ def _phase_bn_fwd(y, scale, bias, P, n):
     a = jnp.tile(rinv * scale, P)
     b = jnp.tile(bias - mean * rinv * scale, P)
     out = (yf * a + b).astype(y.dtype)
-    return out, (y, scale, mean, rinv)
+    return (out, mean, var), (y, scale, mean, rinv)
 
 
-def _phase_bn_bwd(P, n, res, g):
-    y, scale, mean, rinv = res
+def _phase_bn_bwd(P, n, res, gs_all):
+    g = gs_all[0]                 # cotangents on mean/var discarded (see
+    y, scale, mean, rinv = res    # _phase_bn_apply docstring)
     C = scale.shape[0]
     yf = y.astype(jnp.float32)
     gf = g.astype(jnp.float32)
@@ -656,16 +664,12 @@ class PackedPhaseBN(nn.Module):
         # keep the volume's f32 upcast (plus intermediates) as backward
         # residuals — GB-scale f32 copies per stage at train shapes, the
         # reason MS-PSMNet needed remat-all. The custom backward stores
-        # only (y, mean, rinv) and re-upcasts y exactly.
-        out = _phase_bn_apply(y, scale, bias, P, n)
+        # only (y, mean, rinv) and re-upcasts y exactly. The core returns
+        # the batch stats too, so ONE pass feeds both the affine and the
+        # running averages (stats cotangents are discarded by the VJP —
+        # fine: the ra updates are never differentiated).
+        out, mean, var = _phase_bn_apply(y, scale, bias, P, n)
         if not self.is_initializing():
-            # running-stat update; the identical sums inside the custom-vjp
-            # forward CSE with these in the compiled graph
-            yf = jax.lax.stop_gradient(y).astype(jnp.float32)
-            s = yf.reshape(yf.shape[:-1] + (P, C))
-            red = tuple(range(s.ndim - 1))
-            mean = s.sum(axis=red) / n
-            var = (s * s).sum(axis=red) / n - mean * mean
             m = self.momentum
             ra_mean.value = m * ra_mean.value + (1 - m) * mean
             ra_var.value = m * ra_var.value + (1 - m) * var

@@ -868,7 +868,7 @@ def test_phase_bn_custom_vjp_matches_autodiff():
         return (yf * jnp.tile(inv, P)
                 + jnp.tile(bias - mean * inv, P)).astype(y.dtype)
 
-    out_c, vjp_c = jax.vjp(lambda *a: _phase_bn_apply(*a, P, n),
+    out_c, vjp_c = jax.vjp(lambda *a: _phase_bn_apply(*a, P, n)[0],
                            y, scale, bias)
     out_p, vjp_p = jax.vjp(plain, y, scale, bias)
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_p),
