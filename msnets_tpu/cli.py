@@ -120,6 +120,16 @@ def args_to_config(a) -> Config:
     seed = a.seed if a.seed > 0 else int(time.time()) % (2 ** 31)
     remat = a.remat if a.remat is not None else (
         a.model_name == "MS-PSMNet" or TrainConfig.remat)
+    grad_accum = a.grad_accum
+    if (a.model_name == "MS-PSMNet" and a.remat is None
+            and a.grad_accum == 1 and a.batchSize % 2 == 0):
+        # MS-PSMNet reference-recipe default: NO remat, batch as two
+        # sequential micro-batches — activations halve (12.3 vs 17.5 GiB
+        # AOT) and no recompute is paid: 444.5 vs 659.2 ms/step measured
+        # (scripts/perf_psmnet_remat.py scope=accum, PERF.md round 4). BN
+        # stats thread sequentially = consecutive reference steps'
+        # semantics. Explicit --remat/--no_remat or --grad_accum overrides.
+        remat, grad_accum = False, 2
     matching = MatchingConfig(sf_frames_type=a.sf_frames,
                               num_channels=a.cbmv_F,
                               features_mode=getattr(a, "features", "ms"))
@@ -139,7 +149,7 @@ def args_to_config(a) -> Config:
                           checkpoint_dir=a.checkpoint_dir,
                           train_logdir=a.train_logdir, resume=a.resume,
                           remat=remat, remat_scope=a.remat_scope,
-                          grad_accum=a.grad_accum,
+                          grad_accum=grad_accum,
                           num_hosts=a.num_hosts, host_id=a.host_id,
                           ckpt_every_steps=a.ckpt_every_steps),
         data=DataConfig(data_path=a.data_path, training_list=a.training_list,

@@ -63,16 +63,28 @@ def test_dataset_flag_dispatch():
 
 
 def test_remat_default_is_model_dependent():
-    """MS-PSMNet train needs remat at the reference recipe (24.3G > HBM
-    without it); MS-GCNet is faster without. --remat/--no_remat override."""
+    """MS-GCNet defaults to no remat (faster). MS-PSMNet's reference-recipe
+    default is no-remat + grad_accum=2 micro-batching (444.5 vs 659.2
+    ms/step, PERF.md round 4); odd batch sizes fall back to remat-all, and
+    explicit --remat/--no_remat/--grad_accum override."""
     c = cli.args_to_config(cli.build_parser().parse_args([]))
-    assert c.train.remat is False
+    assert c.train.remat is False and c.train.grad_accum == 1
+    c = cli.args_to_config(cli.build_parser().parse_args(
+        ["--model_name=MS-PSMNet", "--batchSize=2"]))
+    assert c.train.remat is False and c.train.grad_accum == 2
+    # odd batch (incl. the batchSize=1 parser default) -> remat-all
     c = cli.args_to_config(cli.build_parser().parse_args(
         ["--model_name=MS-PSMNet"]))
-    assert c.train.remat is True
+    assert c.train.remat is True and c.train.grad_accum == 1
+    c = cli.args_to_config(cli.build_parser().parse_args(
+        ["--model_name=MS-PSMNet", "--batchSize=3"]))
+    assert c.train.remat is True and c.train.grad_accum == 1
+    c = cli.args_to_config(cli.build_parser().parse_args(
+        ["--model_name=MS-PSMNet", "--batchSize=2", "--grad_accum=4"]))
+    assert c.train.remat is True and c.train.grad_accum == 4
     c = cli.args_to_config(cli.build_parser().parse_args(
         ["--model_name=MS-PSMNet", "--no_remat"]))
-    assert c.train.remat is False
+    assert c.train.remat is False and c.train.grad_accum == 1
     c = cli.args_to_config(cli.build_parser().parse_args(["--remat"]))
     assert c.train.remat is True
 
