@@ -239,13 +239,8 @@ def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
         k2s, sk = _quant_kernels(k2s)
     else:
         xs = xs.astype(dtype)
-    # depth-parity split via reshape + unit-stride index, NOT xs[:, 0::2]:
-    # a stride-2 slice of a major dim lowers as a gather-like copy of the
-    # whole volume (the same hazard the downsample fixed, PERF.md); the
-    # reshape form is a view + contiguous slice
-    xs2 = xs.reshape(xs.shape[0], D2, 2, *xs.shape[2:])
-    xe = xs2[:, :, 0]                                  # planes 2m
-    xo = xs2[:, :, 1]                                  # planes 2m+1
+    xe = xs[:, 0::2]                                   # planes 2m
+    xo = xs[:, 1::2]                                   # planes 2m+1
     xo_m1 = jnp.pad(xo, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :D2]
 
     def c2d(v, k2):
