@@ -39,38 +39,6 @@ def _conv(lhs, rhs, *args, **kwargs):
                                         *args, **kwargs)
 
 
-def conv2d_planes(x5: jnp.ndarray, k2: jnp.ndarray,
-                  strides_hw=(1, 1), pad2=((0, 0), (0, 0)),
-                  pet=None) -> jnp.ndarray:
-    """2-D convolution applied independently to every depth plane of a
-    [N, D, H, W, C] volume; kernel [kh, kw, cin, cout].
-
-    Single device (and any mesh without a disp axis): the free
-    reshape-to-(N*D) NHWC form every decomposed conv lowering uses.
-    Under an active mesh with disp > 1: a kd=1 NDHWC conv instead — the
-    merged (N*D) reshape folds the SHARDED depth dim into batch, which
-    GSPMD cannot keep partitioned and lowers as a full-volume all-gather
-    (9.5 GB/step of the disp axis's 12.3 GB raw traffic at the reference
-    recipe, scripts/scaling_analysis.py + the /tmp HLO attribution in
-    SCALING.md). The kd=1 conv keeps D a partitioned spatial dim; both
-    forms are the same math.
-    """
-    N, D, H, W, C = x5.shape
-    if pmesh.axis_size("disp") > 1:
-        k3 = k2[None]                        # [1, kh, kw, cin, cout]
-        dn = jax.lax.conv_dimension_numbers(x5.shape, k3.shape,
-                                            ("NDHWC", "DHWIO", "NDHWC"))
-        return _conv(x5, k3, (1,) + tuple(strides_hw),
-                     [(0, 0)] + list(pad2), dimension_numbers=dn,
-                     preferred_element_type=pet)
-    s2 = x5.reshape(N * D, H, W, C)
-    dn = jax.lax.conv_dimension_numbers(s2.shape, k2.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    y = _conv(s2, k2, tuple(strides_hw), list(pad2), dimension_numbers=dn,
-              preferred_element_type=pet)
-    return y.reshape(N, D, y.shape[1], y.shape[2], y.shape[3])
-
-
 def he_normal_msnets(kernel_spatial: int = 3):
     """N(0, sqrt(2/n)) with n = k^3 * out_channels (net_init.py:30-34).
 
@@ -180,13 +148,17 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     for dz in range(kd):
         sl = jax.lax.slice_in_dim(xp, dz, dz + stride * (d_out - 1) + 1,
                                   stride=stride, axis=1)
+        s2 = sl.reshape(N * d_out, H, W, cin)
+        dn = jax.lax.conv_dimension_numbers(s2.shape, kernel.shape[1:],
+                                            ("NHWC", "HWIO", "NHWC"))
         # same-dtype in/out: a float32 preferred_element_type on bf16
         # operands breaks the conv transpose (autodiff) rule with a dtype
         # mismatch; the MXU accumulates in f32 internally regardless
-        y = conv2d_planes(sl, kernel[dz], (stride, stride),
-                          [(pad, pad)] * 2)
+        y = _conv(
+            s2, kernel[dz], (stride, stride), [(pad, pad)] * 2,
+            dimension_numbers=dn)
         out = y if out is None else out + y
-    return out
+    return out.reshape(N, d_out, h_out, w_out, cout)
 
 
 def _hw_block_kernel(kernel: jnp.ndarray, kz: int, dtype) -> jnp.ndarray:
@@ -244,8 +216,13 @@ def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
     xo_m1 = jnp.pad(xo, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :D2]
 
     def c2d(v, k2):
-        return conv2d_planes(v, k2, (1, 1), [(1, 0), (1, 0)],
-                             pet=jnp.int32 if quantized else None)
+        s2 = v.reshape(N * D2, H2, W2, 4 * cin)
+        dn = jax.lax.conv_dimension_numbers(s2.shape, k2.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = _conv(
+            s2, k2, (1, 1), [(1, 0), (1, 0)], dimension_numbers=dn,
+            preferred_element_type=jnp.int32 if quantized else None)
+        return y.reshape(N, D2, H2, W2, cout)
 
     out = c2d(xe, k2s[0]) + c2d(xo, k2s[1]) + c2d(xo_m1, k2s[2])
     if quantized:
@@ -339,9 +316,16 @@ def conv3d_s1_hw_packed(xp: jnp.ndarray, kernel: jnp.ndarray, dtype,
     xpd = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     out = None
     for dz in range(3):
-        y = conv2d_planes(xpd[:, dz:dz + D], k2s[dz], (1, 1), pad2,
-                          pet=jnp.int32 if quantized else None)
+        sl = xpd[:, dz:dz + D].reshape(N * D, Hb, Wb, c4)
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k2s[dz].shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = _conv(
+            sl, k2s[dz], (1, 1), pad2, dimension_numbers=dn,
+            preferred_element_type=jnp.int32 if quantized else None)
         out = y if out is None else out + y
+    Ho = Hb + 1 if to_shifted else Hb - 1
+    Wo = Wb + 1 if to_shifted else Wb - 1
+    out = out.reshape(N, D, Ho, Wo, 4 * cout)
     if quantized:
         out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
     return out
@@ -394,10 +378,15 @@ def conv3d_s1_w_packed(xw: jnp.ndarray, kernel: jnp.ndarray, dtype,
     xpd = jnp.pad(xw, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     out = None
     for dz in range(3):
-        y = conv2d_planes(xpd[:, dz:dz + D], k2s[dz], (1, 1),
-                          [(1, 1), padw],
-                          pet=jnp.int32 if quantized else None)
+        sl = xpd[:, dz:dz + D].reshape(N * D, Hh, Wb, c2)
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k2s[dz].shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = _conv(
+            sl, k2s[dz], (1, 1), [(1, 1), padw], dimension_numbers=dn,
+            preferred_element_type=jnp.int32 if quantized else None)
         out = y if out is None else out + y
+    Wo = Wb + 1 if to_shifted else Wb - 1
+    out = out.reshape(N, D, Hh, Wo, 2 * kernel.shape[-1])
     if quantized:
         out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
     return out
@@ -462,9 +451,16 @@ def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
     xpd = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     out = None
     for dz in range(3):
-        y = conv2d_planes(xpd[:, dz:dz + D], k4s[dz], (2, 2), pad2,
-                          pet=jnp.int32 if quantized else None)
+        sl = xpd[:, dz:dz + D].reshape(N * D, H, W, cin)
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k4s[dz].shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = _conv(
+            sl, k4s[dz], (2, 2), pad2, dimension_numbers=dn,
+            preferred_element_type=jnp.int32 if quantized else None)
         out = y if out is None else out + y
+    Hb = H // 2 + 1 if to_shifted else H // 2
+    Wb = W // 2 + 1 if to_shifted else W // 2
+    out = out.reshape(N, D, Hb, Wb, 4 * cout)
     if quantized:
         out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
     return out
@@ -955,8 +951,10 @@ def deconv3d_s2_packed_out(x: jnp.ndarray, kernel: jnp.ndarray,
     xpd = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
 
     def c2d(bz, k):
-        return conv2d_planes(xpd[:, bz:bz + D], k, (1, 1),
-                             [(0, 1), (0, 1)])
+        sl = xpd[:, bz:bz + D].reshape(N * D, H, W, cin)
+        dn = jax.lax.conv_dimension_numbers(sl.shape, k.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        return _conv(sl, k, (1, 1), [(0, 1), (0, 1)], dimension_numbers=dn)
 
     # depth phase pz=0 has a single D-tap at offset 0 (_deconv_phase_taps),
     # so the bz=1 kernel's first channel half (pz=0 groups) is statically
@@ -964,8 +962,8 @@ def deconv3d_s2_packed_out(x: jnp.ndarray, kernel: jnp.ndarray,
     # only (N = 4*cout, still >= 128 lanes for cout >= 32): 25% fewer FLOPs.
     out = c2d(0, k2[0])
     y1 = c2d(1, k2[1][..., 4 * cout:])
-    return out + jnp.pad(y1, ((0, 0), (0, 0), (0, 0), (0, 0),
-                              (4 * cout, 0)))
+    out = out + jnp.pad(y1, ((0, 0), (0, 0), (0, 0), (4 * cout, 0)))
+    return out.reshape(N, D, H, W, 8 * cout)
 
 
 def deconv3d_s2_pz_slabs(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
@@ -991,7 +989,8 @@ def deconv3d_s2_pz_slabs(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
     xpd = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
     slabs = []
     for t in range(2):
-        acc = None if adds is None else adds[t].astype(dtype)
+        acc = (None if adds is None else
+               adds[t].astype(dtype).reshape(N * D, H, W, 4 * cout))
         for bz in range(2):
             if t == 0 and bz == 1:
                 # statically zero kernel slice: depth phase pz=0 has a
@@ -1000,10 +999,14 @@ def deconv3d_s2_pz_slabs(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
                 # runtime einsum, so XLA cannot see the zeros; skipping the
                 # conv here drops 25% of the lowering's FLOPs outright.
                 continue
-            y = conv2d_planes(xpd[:, bz:bz + D], kpz[bz, ..., t, :],
-                              (1, 1), [(0, 1), (0, 1)])
+            sl = xpd[:, bz:bz + D].reshape(N * D, H, W, cin)
+            dn = jax.lax.conv_dimension_numbers(
+                sl.shape, kpz[bz, ..., t, :].shape, ("NHWC", "HWIO", "NHWC"))
+            y = _conv(
+                sl, kpz[bz, ..., t, :], (1, 1), [(0, 1), (0, 1)],
+                dimension_numbers=dn)
             acc = y if acc is None else acc + y
-        slabs.append(acc)
+        slabs.append(acc.reshape(N, D, H, W, 4 * cout))
     return tuple(slabs)
 
 
@@ -1420,8 +1423,13 @@ class SubpixelSoftArgminHead(nn.Module):
         xpd = jnp.pad(xq, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
         L = None
         for bz in range(2):
-            y = conv2d_planes(xpd[:, bz:bz + Db], kbig[bz], (1, 1),
-                              [(0, 1), (0, 1)], pet=self.dtype)
+            sl = xpd[:, bz:bz + Db].reshape(N * Db, Hb, Wb, c8)
+            dn = jax.lax.conv_dimension_numbers(sl.shape, kbig[bz].shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            y = _conv(
+                sl, kbig[bz], (1, 1), [(0, 1), (0, 1)],
+                dimension_numbers=dn,
+                preferred_element_type=self.dtype)
             L = y if L is None else L + y
         # [N, Db, Hb, Wb, (pz, ph, pw, qd, qh, qw)]
         L = L.reshape(N, Db, Hb, Wb, 2, 2, 2, 2, 2, 2)
@@ -1495,7 +1503,7 @@ class SubpixelSoftArgminHead(nn.Module):
         # -> spatial window (bh, dx'); in channels (u_in, qh, qw, c)
         kg = kg.reshape(2, 2, 2, 2, 8 * cin, 128).astype(self.dtype)
 
-        Sf = [s.astype(self.dtype).reshape(N, Db, Hb, Wb // 2, 2 * c4)
+        Sf = [s.astype(self.dtype).reshape(N * Db, Hb, Wb // 2, 2 * c4)
               for s in (S0, S1)]
         L = None
         for s in range(2):
@@ -1509,10 +1517,15 @@ class SubpixelSoftArgminHead(nn.Module):
                     continue
                 src = Sf[s]
                 if bd:                      # depth block B+1: shift slab up
-                    src = jnp.pad(src[:, 1:],
-                                  ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
-                y = conv2d_planes(src, kg[s, bd], (1, 1), [(0, 1), (0, 1)],
-                                  pet=self.dtype)
+                    src = jnp.pad(
+                        src.reshape(N, Db, Hb, Wb // 2, -1)[:, 1:],
+                        ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+                    src = src.reshape(N * Db, Hb, Wb // 2, -1)
+                dn = jax.lax.conv_dimension_numbers(
+                    src.shape, kg[s, bd].shape, ("NHWC", "HWIO", "NHWC"))
+                y = _conv(
+                    src, kg[s, bd], (1, 1), [(0, 1), (0, 1)],
+                    dimension_numbers=dn, preferred_element_type=self.dtype)
                 L = y if L is None else L + y
         # [N, Db, Hb, W'b, (u, pz, ph, pw, qd, qh, qw)]
         L = L.reshape(N, Db, Hb, Wb // 2, 2, 2, 2, 2, 2, 2, 2)

@@ -128,19 +128,6 @@ def replicate(x):
 _ACTIVE_MESH = []
 
 
-def current_mesh():
-    """The mesh made visible by the innermost active_mesh(), or None."""
-    return _ACTIVE_MESH[-1] if _ACTIVE_MESH else None
-
-
-def axis_size(name: str) -> int:
-    """Device count on a named axis of the active mesh (1 if no mesh)."""
-    mesh = current_mesh()
-    if mesh is None:
-        return 1
-    return dict(zip(mesh.axis_names, mesh.devices.shape)).get(name, 1)
-
-
 @contextlib.contextmanager
 def active_mesh(mesh: Optional[Mesh]):
     """Make `mesh` visible to constrain_volume() during jit tracing.
