@@ -39,6 +39,37 @@ def _conv(lhs, rhs, *args, **kwargs):
                                         *args, **kwargs)
 
 
+def _disp_sharded() -> bool:
+    """True when the active mesh partitions the disparity axis."""
+    mesh = pmesh.current_mesh() if hasattr(pmesh, "current_mesh") else None
+    if mesh is None:
+        return False
+    return dict(zip(mesh.axis_names,
+                    mesh.devices.shape)).get("disp", 1) > 1
+
+
+def conv2d_planes_nd(x5: jnp.ndarray, k2: jnp.ndarray,
+                     strides_hw=(1, 1), pad2=((0, 0), (0, 0)),
+                     pet=None) -> jnp.ndarray:
+    """2-D conv per depth plane of [N, D, H, W, C] as a kd=1 NDHWC conv.
+
+    ONLY for disp-sharded meshes: the usual free reshape to (N*D, H, W, C)
+    folds the SHARDED depth dim into batch, which GSPMD cannot keep
+    partitioned — it all-gathers the volume (9.5 GB/step of the disp axis's
+    raw traffic at the reference recipe; SCALING.md). The kd=1 form keeps D
+    a partitioned spatial dim. Do NOT use it single-device: a first landing
+    that restructured the single-device path too cost ~10% eval throughput
+    (the per-tap reshapes perturb XLA fusion; SCALING.md "deferred" note) —
+    hence the whole-loop gating at every call site, with the original 4-D
+    accumulation kept verbatim when no disp mesh is active.
+    """
+    k3 = k2[None]                            # [1, kh, kw, cin, cout]
+    dn = jax.lax.conv_dimension_numbers(x5.shape, k3.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    return _conv(x5, k3, (1,) + tuple(strides_hw), [(0, 0)] + list(pad2),
+                 dimension_numbers=dn, preferred_element_type=pet)
+
+
 def he_normal_msnets(kernel_spatial: int = 3):
     """N(0, sqrt(2/n)) with n = k^3 * out_channels (net_init.py:30-34).
 
@@ -144,6 +175,15 @@ def conv3d_ndhwc(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     d_out = (D + 2 * pad - kd) // stride + 1
     h_out = (H + 2 * pad - kh) // stride + 1
     w_out = (W + 2 * pad - kw) // stride + 1
+    if _disp_sharded():
+        out = None
+        for dz in range(kd):
+            sl = jax.lax.slice_in_dim(xp, dz, dz + stride * (d_out - 1) + 1,
+                                      stride=stride, axis=1)
+            y = conv2d_planes_nd(sl, kernel[dz], (stride, stride),
+                                 [(pad, pad)] * 2)
+            out = y if out is None else out + y
+        return out
     out = None
     for dz in range(kd):
         sl = jax.lax.slice_in_dim(xp, dz, dz + stride * (d_out - 1) + 1,
@@ -216,6 +256,9 @@ def conv3d_s2_hw_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
     xo_m1 = jnp.pad(xo, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :D2]
 
     def c2d(v, k2):
+        if _disp_sharded():
+            return conv2d_planes_nd(v, k2, (1, 1), [(1, 0), (1, 0)],
+                                    pet=jnp.int32 if quantized else None)
         s2 = v.reshape(N * D2, H2, W2, 4 * cin)
         dn = jax.lax.conv_dimension_numbers(s2.shape, k2.shape,
                                             ("NHWC", "HWIO", "NHWC"))
@@ -314,18 +357,25 @@ def conv3d_s1_hw_packed(xp: jnp.ndarray, kernel: jnp.ndarray, dtype,
     else:
         xp = xp.astype(dtype)
     xpd = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-    out = None
-    for dz in range(3):
-        sl = xpd[:, dz:dz + D].reshape(N * D, Hb, Wb, c4)
-        dn = jax.lax.conv_dimension_numbers(sl.shape, k2s[dz].shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-        y = _conv(
-            sl, k2s[dz], (1, 1), pad2, dimension_numbers=dn,
-            preferred_element_type=jnp.int32 if quantized else None)
-        out = y if out is None else out + y
-    Ho = Hb + 1 if to_shifted else Hb - 1
-    Wo = Wb + 1 if to_shifted else Wb - 1
-    out = out.reshape(N, D, Ho, Wo, 4 * cout)
+    if _disp_sharded():
+        out = None
+        for dz in range(3):
+            y = conv2d_planes_nd(xpd[:, dz:dz + D], k2s[dz], (1, 1), pad2,
+                                 pet=jnp.int32 if quantized else None)
+            out = y if out is None else out + y
+    else:
+        out = None
+        for dz in range(3):
+            sl = xpd[:, dz:dz + D].reshape(N * D, Hb, Wb, c4)
+            dn = jax.lax.conv_dimension_numbers(sl.shape, k2s[dz].shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            y = _conv(
+                sl, k2s[dz], (1, 1), pad2, dimension_numbers=dn,
+                preferred_element_type=jnp.int32 if quantized else None)
+            out = y if out is None else out + y
+        Ho = Hb + 1 if to_shifted else Hb - 1
+        Wo = Wb + 1 if to_shifted else Wb - 1
+        out = out.reshape(N, D, Ho, Wo, 4 * cout)
     if quantized:
         out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
     return out
@@ -376,17 +426,25 @@ def conv3d_s1_w_packed(xw: jnp.ndarray, kernel: jnp.ndarray, dtype,
     else:
         xw = xw.astype(dtype)
     xpd = jnp.pad(xw, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-    out = None
-    for dz in range(3):
-        sl = xpd[:, dz:dz + D].reshape(N * D, Hh, Wb, c2)
-        dn = jax.lax.conv_dimension_numbers(sl.shape, k2s[dz].shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-        y = _conv(
-            sl, k2s[dz], (1, 1), [(1, 1), padw], dimension_numbers=dn,
-            preferred_element_type=jnp.int32 if quantized else None)
-        out = y if out is None else out + y
-    Wo = Wb + 1 if to_shifted else Wb - 1
-    out = out.reshape(N, D, Hh, Wo, 2 * kernel.shape[-1])
+    if _disp_sharded():
+        out = None
+        for dz in range(3):
+            y = conv2d_planes_nd(xpd[:, dz:dz + D], k2s[dz], (1, 1),
+                                 [(1, 1), padw],
+                                 pet=jnp.int32 if quantized else None)
+            out = y if out is None else out + y
+    else:
+        out = None
+        for dz in range(3):
+            sl = xpd[:, dz:dz + D].reshape(N * D, Hh, Wb, c2)
+            dn = jax.lax.conv_dimension_numbers(sl.shape, k2s[dz].shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            y = _conv(
+                sl, k2s[dz], (1, 1), [(1, 1), padw], dimension_numbers=dn,
+                preferred_element_type=jnp.int32 if quantized else None)
+            out = y if out is None else out + y
+        Wo = Wb + 1 if to_shifted else Wb - 1
+        out = out.reshape(N, D, Hh, Wo, 2 * kernel.shape[-1])
     if quantized:
         out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
     return out
@@ -449,18 +507,25 @@ def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
     else:
         x = x.astype(dtype)
     xpd = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-    out = None
-    for dz in range(3):
-        sl = xpd[:, dz:dz + D].reshape(N * D, H, W, cin)
-        dn = jax.lax.conv_dimension_numbers(sl.shape, k4s[dz].shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-        y = _conv(
-            sl, k4s[dz], (2, 2), pad2, dimension_numbers=dn,
-            preferred_element_type=jnp.int32 if quantized else None)
-        out = y if out is None else out + y
-    Hb = H // 2 + 1 if to_shifted else H // 2
-    Wb = W // 2 + 1 if to_shifted else W // 2
-    out = out.reshape(N, D, Hb, Wb, 4 * cout)
+    if _disp_sharded():
+        out = None
+        for dz in range(3):
+            y = conv2d_planes_nd(xpd[:, dz:dz + D], k4s[dz], (2, 2), pad2,
+                                 pet=jnp.int32 if quantized else None)
+            out = y if out is None else out + y
+    else:
+        out = None
+        for dz in range(3):
+            sl = xpd[:, dz:dz + D].reshape(N * D, H, W, cin)
+            dn = jax.lax.conv_dimension_numbers(sl.shape, k4s[dz].shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            y = _conv(
+                sl, k4s[dz], (2, 2), pad2, dimension_numbers=dn,
+                preferred_element_type=jnp.int32 if quantized else None)
+            out = y if out is None else out + y
+        Hb = H // 2 + 1 if to_shifted else H // 2
+        Wb = W // 2 + 1 if to_shifted else W // 2
+        out = out.reshape(N, D, Hb, Wb, 4 * cout)
     if quantized:
         out = (out.astype(jnp.float32) * (sx * sk)).astype(dtype)
     return out
@@ -950,16 +1015,23 @@ def deconv3d_s2_packed_out(x: jnp.ndarray, kernel: jnp.ndarray,
     x = x.astype(dtype)
     xpd = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
 
+    # depth phase pz=0 has a single D-tap at offset 0 (_deconv_phase_taps),
+    # so the bz=1 kernel's first channel half (pz=0 groups) is statically
+    # zero — a runtime einsum XLA can't fold. Run bz=1 over the pz=1 half
+    # only (N = 4*cout, still >= 128 lanes for cout >= 32): 25% fewer FLOPs.
+    if _disp_sharded():
+        out = conv2d_planes_nd(xpd[:, 0:D], k2[0], (1, 1), [(0, 1), (0, 1)])
+        y1 = conv2d_planes_nd(xpd[:, 1:1 + D], k2[1][..., 4 * cout:],
+                              (1, 1), [(0, 1), (0, 1)])
+        return out + jnp.pad(y1, ((0, 0), (0, 0), (0, 0), (0, 0),
+                                  (4 * cout, 0)))
+
     def c2d(bz, k):
         sl = xpd[:, bz:bz + D].reshape(N * D, H, W, cin)
         dn = jax.lax.conv_dimension_numbers(sl.shape, k.shape,
                                             ("NHWC", "HWIO", "NHWC"))
         return _conv(sl, k, (1, 1), [(0, 1), (0, 1)], dimension_numbers=dn)
 
-    # depth phase pz=0 has a single D-tap at offset 0 (_deconv_phase_taps),
-    # so the bz=1 kernel's first channel half (pz=0 groups) is statically
-    # zero — a runtime einsum XLA can't fold. Run bz=1 over the pz=1 half
-    # only (N = 4*cout, still >= 128 lanes for cout >= 32): 25% fewer FLOPs.
     out = c2d(0, k2[0])
     y1 = c2d(1, k2[1][..., 4 * cout:])
     out = out + jnp.pad(y1, ((0, 0), (0, 0), (0, 0), (4 * cout, 0)))
@@ -987,6 +1059,18 @@ def deconv3d_s2_pz_slabs(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
         2, 2, 2, cin, 2, 4 * cout)
     x = x.astype(dtype)
     xpd = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    if _disp_sharded():
+        slabs = []
+        for t in range(2):
+            acc = None if adds is None else adds[t].astype(dtype)
+            for bz in range(2):
+                if t == 0 and bz == 1:
+                    continue      # statically zero kernel slice (below)
+                y = conv2d_planes_nd(xpd[:, bz:bz + D], kpz[bz, ..., t, :],
+                                     (1, 1), [(0, 1), (0, 1)])
+                acc = y if acc is None else acc + y
+            slabs.append(acc)
+        return tuple(slabs)
     slabs = []
     for t in range(2):
         acc = (None if adds is None else
@@ -1423,13 +1507,19 @@ class SubpixelSoftArgminHead(nn.Module):
         xpd = jnp.pad(xq, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
         L = None
         for bz in range(2):
-            sl = xpd[:, bz:bz + Db].reshape(N * Db, Hb, Wb, c8)
-            dn = jax.lax.conv_dimension_numbers(sl.shape, kbig[bz].shape,
-                                                ("NHWC", "HWIO", "NHWC"))
-            y = _conv(
-                sl, kbig[bz], (1, 1), [(0, 1), (0, 1)],
-                dimension_numbers=dn,
-                preferred_element_type=self.dtype)
+            if _disp_sharded():
+                # stays 5-D (merging N*Db here would re-fold the sharded
+                # depth dim); the final L.reshape below accepts either rank
+                y = conv2d_planes_nd(xpd[:, bz:bz + Db], kbig[bz], (1, 1),
+                                     [(0, 1), (0, 1)], pet=self.dtype)
+            else:
+                sl = xpd[:, bz:bz + Db].reshape(N * Db, Hb, Wb, c8)
+                dn = jax.lax.conv_dimension_numbers(
+                    sl.shape, kbig[bz].shape, ("NHWC", "HWIO", "NHWC"))
+                y = _conv(
+                    sl, kbig[bz], (1, 1), [(0, 1), (0, 1)],
+                    dimension_numbers=dn,
+                    preferred_element_type=self.dtype)
             L = y if L is None else L + y
         # [N, Db, Hb, Wb, (pz, ph, pw, qd, qh, qw)]
         L = L.reshape(N, Db, Hb, Wb, 2, 2, 2, 2, 2, 2)
@@ -1503,6 +1593,26 @@ class SubpixelSoftArgminHead(nn.Module):
         # -> spatial window (bh, dx'); in channels (u_in, qh, qw, c)
         kg = kg.reshape(2, 2, 2, 2, 8 * cin, 128).astype(self.dtype)
 
+        if _disp_sharded():
+            # 5-D slabs so the sharded Db dim never folds into batch; the
+            # final L.reshape below accepts either rank
+            Sf5 = [sv.astype(self.dtype).reshape(N, Db, Hb, Wb // 2,
+                                                 2 * c4)
+                   for sv in (S0, S1)]
+            L = None
+            for s_i in range(2):
+                for bd in range(2):
+                    if s_i == 1 and bd == 1:
+                        continue      # statically zero (see below)
+                    src = Sf5[s_i]
+                    if bd:
+                        src = jnp.pad(src[:, 1:], ((0, 0), (0, 1), (0, 0),
+                                                   (0, 0), (0, 0)))
+                    y = conv2d_planes_nd(src, kg[s_i, bd], (1, 1),
+                                         [(0, 1), (0, 1)], pet=self.dtype)
+                    L = y if L is None else L + y
+            L = L.reshape(N, Db, Hb, Wb // 2, 2, 2, 2, 2, 2, 2, 2)
+            return self._pzslab_tail(L, Db, N, Hb, Wb)
         Sf = [s.astype(self.dtype).reshape(N * Db, Hb, Wb // 2, 2 * c4)
               for s in (S0, S1)]
         L = None
@@ -1529,6 +1639,12 @@ class SubpixelSoftArgminHead(nn.Module):
                 L = y if L is None else L + y
         # [N, Db, Hb, W'b, (u, pz, ph, pw, qd, qh, qw)]
         L = L.reshape(N, Db, Hb, Wb // 2, 2, 2, 2, 2, 2, 2, 2)
+        return self._pzslab_tail(L, Db, N, Hb, Wb)
+
+    def _pzslab_tail(self, L, Db, N, Hb, Wb):
+        """Softmax statistics + soft-argmin over the pzslab logit tensor
+        [N, Db, Hb, W'b, (u, pz, ph, pw, qd, qh, qw)] (shared by the
+        single-device and disp-sharded conv branches)."""
         red = (1, 5, 8)                       # Db, pz, qd
         gmax = L.max(axis=red, keepdims=True).astype(jnp.float32)
         # e is stored in the model dtype: in bf16 it halves the HBM traffic

@@ -128,6 +128,11 @@ def replicate(x):
 _ACTIVE_MESH = []
 
 
+def current_mesh():
+    """The mesh made visible by the innermost active_mesh(), or None."""
+    return _ACTIVE_MESH[-1] if _ACTIVE_MESH else None
+
+
 @contextlib.contextmanager
 def active_mesh(mesh: Optional[Mesh]):
     """Make `mesh` visible to constrain_volume() during jit tracing.
