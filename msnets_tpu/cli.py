@@ -37,7 +37,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "resuming such a checkpoint continues INSIDE the "
                         "epoch at the exact next batch")
     p.add_argument("--grad_accum", type=int, default=1,
-                   help="micro-batch count per step (gradient accumulation)")
+                   help="micro-batch count per step (gradient accumulation)."
+                        " BN batch statistics are computed per micro-batch"
+                        " (sequentially threaded = consecutive reference"
+                        " steps' semantics), not over the full batch."
+                        " NOTE: MS-PSMNet with an even batch and no explicit"
+                        " --remat/--grad_accum defaults to grad_accum=2 +"
+                        " no-remat (444.5 vs 659.2 ms/step; a log line"
+                        " records when this engages)")
     p.add_argument("--log_summary_step", type=int, default=200)
     p.add_argument("--nEpochs", type=int, default=400)
     p.add_argument("--startEpoch", type=int, default=0)
@@ -130,6 +137,10 @@ def args_to_config(a) -> Config:
         # stats thread sequentially = consecutive reference steps'
         # semantics. Explicit --remat/--no_remat or --grad_accum overrides.
         remat, grad_accum = False, 2
+        print("[**] MS-PSMNet default engaged: no-remat + grad_accum=2 "
+              "micro-batching (BN stats per half-batch, a deviation from "
+              "the reference's full-batch BN; override with --remat or "
+              "--grad_accum 1)")
     matching = MatchingConfig(sf_frames_type=a.sf_frames,
                               num_channels=a.cbmv_F,
                               features_mode=getattr(a, "features", "ms"))
@@ -201,7 +212,21 @@ def run_train(cfg: Config, mesh=None, log=print):
                          num_threads=cfg.train.num_workers,
                          num_hosts=cfg.train.num_hosts,
                          host_id=cfg.train.host_id)
-    steps = pipe.steps_per_epoch()
+    # exact per-epoch step counts: steps_per_epoch() is only an UPPER bound
+    # under mixed-geometry bucketing (partial buckets drop per geometry), so
+    # gstep derived from it could double-count across epochs (advisor r4).
+    # batch_schedule is a pure function of (seed, epoch, entry widths) and
+    # widths cache across epochs, so these are header-sniff-cheap.
+    _sched_len: dict = {}
+
+    def epoch_len(e: int) -> int:
+        if e not in _sched_len:
+            _sched_len[e] = len(pipe.batch_schedule(e))
+        return _sched_len[e]
+
+    def global_step(epoch: int, iteration: int) -> int:
+        return sum(epoch_len(e) for e in range(1, epoch)) + iteration
+
     writer = None
     if cfg.train.train_logdir:
         try:
@@ -211,8 +236,8 @@ def run_train(cfg: Config, mesh=None, log=print):
     run_log = {"loss": 0.0, "epe": 0.0, "n": 0}
 
     def log_fn(epoch, iteration, metrics, sec_per_step, state, disp, batch):
-        gstep = (epoch - 1) * steps + iteration
-        log(S.console_line(epoch, iteration, steps, gstep, metrics,
+        gstep = global_step(epoch, iteration)
+        log(S.console_line(epoch, iteration, epoch_len(epoch), gstep, metrics,
                            sec_per_step, S.process_mem_mb()))
         sys.stdout.flush()
         run_log["loss"] += metrics["loss"]

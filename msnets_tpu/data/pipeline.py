@@ -79,10 +79,20 @@ def image_width(path: str) -> int:
         # assuming one field per line.
         with open(path, "rb") as f:
             buf = f.read(256)
+        complete = len(buf) < 256              # whole file fit in the buffer
         tokens = []
-        for raw in buf.splitlines():
+        lines = buf.splitlines(keepends=True)
+        for li, raw in enumerate(lines):
             line = raw.split(b"#", 1)[0]       # strip comments
-            tokens.extend(line.split())
+            toks = line.split()
+            if (toks and not complete and li == len(lines) - 1
+                    and b"#" not in raw and not raw[-1:].isspace()):
+                # a token cut at the buffer boundary parses as a TRUNCATED
+                # number (e.g. "64" of "640" after long header comments) —
+                # only trust tokens terminated by a delimiter inside the
+                # buffer (advisor r4); otherwise fall through to read_gray
+                toks = toks[:-1]
+            tokens.extend(toks)
             if len(tokens) >= 2:
                 return int(tokens[1])
     return read_gray(path).shape[1]
@@ -247,6 +257,12 @@ class TrainPipeline:
     files are covered within a few epochs (the reference's contiguous
     split drops the SAME N mod workers files every epoch,
     dataset.py:349-357).
+
+    Multi-host geometry lockstep assumes a SHARED FILESYSTEM: building the
+    batch schedule header-sniffs every host's left images (~64 bytes each,
+    never pixel data) so all hosts derive the identical batch sequence.
+    With host-local data shards the schedule build raises a
+    FileNotFoundError naming this assumption.
     """
 
     def __init__(self, data_cfg, match_cfg: MatchingConfig,
@@ -390,7 +406,17 @@ class TrainPipeline:
             if h == self.host_id:
                 continue
             sh = [self.entries[i] for i in perm[h::self.num_hosts][:per_host]]
-            theirs = bucketize([self._entry_geometry(e) for e in sh])
+            try:
+                theirs = bucketize([self._entry_geometry(e) for e in sh])
+            except FileNotFoundError as e:
+                raise FileNotFoundError(
+                    f"multi-host batch_schedule: host {self.host_id} cannot "
+                    f"header-sniff host {h}'s image {e.filename!r}. Geometry "
+                    "lockstep assumes every host sees ALL hosts' image files "
+                    "on a shared filesystem (only ~64-byte header reads); "
+                    "with host-local data shards, make the file listing "
+                    "visible to every host or use a single-geometry "
+                    "dataset list.") from e
             for g in list(min_counts):
                 min_counts[g] = min(min_counts[g], len(theirs.get(g, [])))
         schedule = []

@@ -60,10 +60,10 @@ def gcnet_key_map():
     entries += _convbn_entries("conv3dbn_2", ("conv3dbn_2",))
     for k in range(1, 5):
         for j in range(1, 4):
-            entries += _convbn_entries(
-                f"block_3d_{k}.convbn_3d_{j}.convbn_3d",
-                (f"block_3d_{k}", f"convbn_3d_{j}"))
-            # the reference nests convbn_3d modules directly; accept both
+            # Conv3DBlock assigns convbn_3d Sequentials directly as
+            # convbn_3d_{1..3} (gcnet_3dcnn.py:30-37); the key set is pinned
+            # against the reference module tree by
+            # tests/test_torch_convert_schema.py
             entries += _convbn_entries(
                 f"block_3d_{k}.convbn_3d_{j}",
                 (f"block_3d_{k}", f"convbn_3d_{j}"))

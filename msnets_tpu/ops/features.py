@@ -201,7 +201,9 @@ def raw_features(iml: jnp.ndarray, imr: jnp.ndarray, maxdisp: int,
     README.md:92-101).
     """
     H, W = iml.shape
-    L = iml.astype(out_dtype) / np.float32(255.0)
+    # both channels normalize in float32 and cast once at the end, so L and
+    # R see identical rounding when out_dtype is bf16 (advisor r4)
+    L = (iml.astype(jnp.float32) / np.float32(255.0)).astype(out_dtype)
     R = imr.astype(jnp.float32) / np.float32(255.0)
     # slice-form shifts (cheap static pads, like the matchers)
     Rs = jnp.stack([jnp.pad(R[:, :W - d], ((0, 0), (d, 0))).astype(out_dtype)
