@@ -464,11 +464,20 @@ def w_unfold(x: jnp.ndarray) -> jnp.ndarray:
 
 def zero_w_halo(y: jnp.ndarray) -> jnp.ndarray:
     """Zero the out-of-image halo of a W-shifted packed tensor (full-res
-    cols -1 / W at block 0 phase 0 / block Wb-1 phase 1)."""
+    cols -1 / W at block 0 phase 0 / block Wb-1 phase 1).
+
+    Expressed as a fused iota-mask select, NOT ``.at[].set(0)``: the scatter
+    form lowers to chains of full-buffer dynamic-update-slice ops in both
+    the forward and the VJP (~400 MB each at the reference train recipe —
+    the dominant standalone glue in the train step's optimized HLO,
+    scripts/perf_train_fat.py), while the select fuses into the adjacent
+    elementwise stages for free."""
     C = y.shape[-1] // 2
-    y = y.at[:, :, :, 0, :C].set(0)
-    y = y.at[:, :, :, -1, C:].set(0)
-    return y
+    Wb, C2 = y.shape[3], y.shape[-1]
+    w = jax.lax.broadcasted_iota(jnp.int32, (Wb, C2), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (Wb, C2), 1)
+    halo = ((w == 0) & (c < C)) | ((w == Wb - 1) & (c >= C))
+    return jnp.where(halo, jnp.zeros((), y.dtype), y)
 
 
 def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
@@ -534,15 +543,23 @@ def conv3d_s1_full_to_packed(x: jnp.ndarray, kernel: jnp.ndarray, dtype,
 def zero_shift_halo(y: jnp.ndarray) -> jnp.ndarray:
     """Zero the out-of-image halo entries of a shifted packed tensor
     (full-res rows -1 / H live at block 0 phase 0 / block Hb-1 phase 1;
-    likewise for W). Channel order (ph, pw, c), c = channels // 4."""
+    likewise for W). Channel order (ph, pw, c), c = channels // 4.
+
+    Fused iota-mask select instead of ``.at[].set(0)``: the six scatter
+    updates lowered to ~24 full-buffer (393 MB) dynamic-update-slice ops
+    per stage across fwd+VJP at the reference train recipe — the single
+    largest standalone-glue block in the step's optimized HLO
+    (scripts/perf_train_fat.py). The select is exact and fuses into the
+    surrounding BN/ReLU elementwise work."""
     C = y.shape[-1] // 4
-    y = y.at[:, :, 0, :, :2 * C].set(0)            # row -1  (ph = 0)
-    y = y.at[:, :, -1, :, 2 * C:].set(0)           # row H   (ph = 1)
-    y = y.at[:, :, :, 0, :C].set(0)                # col -1  (pw = 0)
-    y = y.at[:, :, :, 0, 2 * C:3 * C].set(0)
-    y = y.at[:, :, :, -1, C:2 * C].set(0)          # col W   (pw = 1)
-    y = y.at[:, :, :, -1, 3 * C:].set(0)
-    return y
+    Hb, Wb, C4 = y.shape[2], y.shape[3], y.shape[-1]
+    h = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wb, C4), 0)
+    w = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wb, C4), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wb, C4), 2)
+    ph, pw = c // (2 * C), (c // C) % 2
+    halo = (((h == 0) & (ph == 0)) | ((h == Hb - 1) & (ph == 1))
+            | ((w == 0) & (pw == 0)) | ((w == Wb - 1) & (pw == 1)))
+    return jnp.where(halo, jnp.zeros((), y.dtype), y)
 
 
 def conv3d_k3_cout1_tapgemm(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -649,18 +666,29 @@ def _phase_bn_apply(y, scale, bias, P, n):
 
 def _phase_bn_fwd(y, scale, bias, P, n):
     C = scale.shape[0]
-    yf = y.astype(jnp.float32)
     # minor-dim split only: a flat reshape(-1, P, C) merges sharded
     # N/D/H/W dims and forces GSPMD to all-gather the volume
     # (scripts/scaling_analysis.py)
-    s = yf.reshape(yf.shape[:-1] + (P, C))
+    s = y.reshape(y.shape[:-1] + (P, C))
     red = tuple(range(s.ndim - 1))
-    mean = s.sum(axis=red) / n
-    var = (s * s).sum(axis=red) / n - mean * mean
+    # f32-ACCUMULATING reductions straight off the model-dtype tensor: the
+    # bf16->f32 converts live inside the reduce fusions. The previous shared
+    # `y.astype(f32)` materialized as standalone full-volume f32 converts
+    # (~786 MB each, several per stage once XLA rematerialized it per
+    # consumer) — the single largest block of the train step's composition
+    # fat (scripts/perf_train_fat.py HLO attribution). Stats are unchanged:
+    # a reduce that upcasts each element before accumulating is exactly the
+    # old sum-of-upcasts.
+    mean = jnp.sum(s, axis=red, dtype=jnp.float32) / n
+    sq = jnp.sum(jnp.square(s.astype(jnp.float32)), axis=red) / n
+    var = sq - mean * mean
     rinv = jax.lax.rsqrt(var + 1e-5)                  # gamma-free
     a = jnp.tile(rinv * scale, P)
     b = jnp.tile(bias - mean * rinv * scale, P)
-    out = (yf * a + b).astype(y.dtype)
+    # the affine runs in the model dtype (constants fold to f32 when y is
+    # f32 — bit-identical to the old form; bf16 pays one extra zero-mean
+    # rounding on a value that was already rounded to bf16 on output)
+    out = y * a.astype(y.dtype) + b.astype(y.dtype)
     return (out, mean, var), (y, scale, mean, rinv)
 
 
@@ -668,17 +696,23 @@ def _phase_bn_bwd(P, n, res, gs_all):
     g = gs_all[0]                 # cotangents on mean/var discarded (see
     y, scale, mean, rinv = res    # _phase_bn_apply docstring)
     C = scale.shape[0]
-    yf = y.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    sh = yf.shape[:-1] + (P, C)
+    sh = y.shape[:-1] + (P, C)
     red = tuple(range(len(sh) - 1))
-    xhat = (yf.reshape(sh) - mean) * rinv             # [..., P, C]
-    gs = gf.reshape(sh)
-    sg = gs.sum(axis=red)                             # [C]
-    sgx = (gs * xhat).sum(axis=red)                   # [C]
-    # dL/dy = gamma*rinv * (g - (sg + xhat*sgx)/n)
-    dy = (scale * rinv) * (gs - (sg + xhat * sgx) / n)
-    dy = dy.reshape(y.shape).astype(y.dtype)
+    ys = y.reshape(sh)
+    gs = g.reshape(sh)
+    sg = jnp.sum(gs, axis=red, dtype=jnp.float32)     # [C]
+    # sum(g * xhat) as ONE f32-accumulating fusion over the model-dtype
+    # pair — no materialized f32 upcast of either volume (see _phase_bn_fwd)
+    sgx = jnp.sum(gs.astype(jnp.float32)
+                  * (ys.astype(jnp.float32) - mean) * rinv, axis=red)
+    # dL/dy = gamma*rinv * (g - (sg + xhat*sgx)/n)  with xhat=(y-mean)*rinv
+    #       = a1*g + c1*y + c0 per channel: pure model-dtype elementwise
+    a1 = scale * rinv
+    c1 = -scale * rinv * rinv * sgx / n
+    c0 = -a1 * sg / n - c1 * mean
+    dy = (g * jnp.tile(a1, P).astype(g.dtype)
+          + y * jnp.tile(c1, P).astype(y.dtype)
+          + jnp.tile(c0, P).astype(g.dtype))
     return dy, sgx, sg
 
 
@@ -788,9 +822,6 @@ class ConvBN3D(nn.Module):
         if train and k == 3 and self.stride == 1 and \
                 (lin != "full" or lout != "full"):
             return self._train_packed(x, kernel, lin, lout)
-        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, dtype=jnp.float32,
-                          param_dtype=jnp.float32, name="bn")
         if train:
             if self.stride == 2 and k == 3 and lin == "std":
                 # block entry conv consuming the packed stem (full output)
@@ -800,7 +831,18 @@ class ConvBN3D(nn.Module):
                 x = conv3d_ndhwc(x, kernel, self.stride, k // 2, self.dtype,
                                  force_s2d=(self.stride == 2))
             x = pmesh.constrain_volume(x)
-            return bn(x.astype(jnp.float32)).astype(self.dtype)
+            # full-layout BN through the fused custom core (P=1): flax
+            # nn.BatchNorm on an f32 upcast materializes the upcast as
+            # standalone full-volume converts/copies in fwd AND VJP (192 MB
+            # each at block1's train shape, perf_train_fat.py); the core's
+            # f32-accumulating reductions + model-dtype affine fuse instead.
+            # Identical variable tree (bn/{scale,bias,mean,var}).
+            n1 = int(np.prod(x.shape[:-1]))
+            return PackedPhaseBN(self.features, 1, n1, name="bn")(
+                x).astype(self.dtype)
+        bn = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                          epsilon=1e-5, dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="bn")
         a, b = _bn_affine(bn, self.features)
         quant_run, ascale = self.quant, None
         if self.quant and self.quant_mode != "dynamic":
@@ -1284,14 +1326,17 @@ class DeconvBN3D(nn.Module):
             y = PackedPhaseBN(self.features, 8, n, name="bn")(y)
             y = packed3d_interleave(y.astype(self.dtype))
             return pmesh.constrain_volume(y)
-        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, dtype=jnp.float32,
-                          param_dtype=jnp.float32, name="bn")
         if train:
             x = deconv3d_apply(x, kernel, self.stride, self.dtype,
                                self.train_mode or self.mode)
             x = pmesh.constrain_volume(x)
-            return bn(x.astype(jnp.float32)).astype(self.dtype)
+            # fused P=1 custom-core BN — see ConvBN3D's train branch note
+            n1 = int(np.prod(x.shape[:-1]))
+            return PackedPhaseBN(self.features, 1, n1, name="bn")(
+                x).astype(self.dtype)
+        bn = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                          epsilon=1e-5, dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="bn")
         a, b = _bn_affine(bn, self.features)
         kf = (kernel.astype(jnp.float32) * a).astype(self.dtype)
         if lout == "packed3d" and self.stride == 2 and k == 3:

@@ -153,9 +153,15 @@ class MSPSMNet(nn.Module):
                                     # per touch (A/B: scripts/perf_psmnet.py)
 
     @nn.compact
-    def __call__(self, cv, train: bool = False):
+    def __call__(self, cv, train: bool = False, stop_at: str = ""):
         """cv: [N, D_in, H_in, W_in, C] ->
-        train: (pred1, pred2, pred3) each [N, H_full, W_full]; eval: pred3."""
+        train: (pred1, pred2, pred3) each [N, H_full, W_full]; eval: pred3.
+
+        stop_at: debug/profiling hook — return the named intermediate
+        instead of the full network ("dres0", "dres1", "hg1", "hg2", "hg3",
+        "classif", meaning cost3 pre-upsample). Used by
+        scripts/perf_psmnet_prefix.py to time true prefixes of the eval
+        graph; "" (default) runs everything."""
         dt = self.dtype
         F = self.base_filters
         q = self.quant_eval and not train
@@ -193,6 +199,8 @@ class MSPSMNet(nn.Module):
             h = cbn(F, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_2")(
                 h, train, "shift", "std")
             cost0p = h + cost0p
+            if stop_at in ("dres0", "dres1"):
+                return cost0p
             if train or self.packed_eval_outer:
                 # the ENTIRE outer graph stays packed-std: hourglass
                 # outputs, skip adds and classifiers never materialize a
@@ -217,6 +225,8 @@ class MSPSMNet(nn.Module):
             h = cbn(F, 1, dtype=dt, quant=q, quant_mode=qm, name="dres1_2")(
                 h, train, "full", "full")
             cost0 = h + cost0
+            if stop_at in ("dres0", "dres1"):
+                return cost0
             hg1_in, hg1_lin = cost0, "full"
         hg = lambda name: Hourglass(F, dtype=dt, quant=q, quant_mode=qm,
                                     remat_stages=self.remat, name=name)
@@ -226,14 +236,22 @@ class MSPSMNet(nn.Module):
         out1, pre1, post1 = hg("dres2")(hg1_in, None, None, train,
                                         hg1_lin, lio)
         out1 = out1 + skip
+        if stop_at == "hg1":
+            return out1
         out2, _, post2 = hg("dres3")(out1, pre1, post1, train, lio, lio)
         out2 = out2 + skip
+        if stop_at == "hg2":
+            return out2
         out3, _, _ = hg("dres4")(out2, pre1, post2, train, lio, lio)
         out3 = out3 + skip
+        if stop_at == "hg3":
+            return out3
 
         cost1 = clf(features=F, dtype=dt, name="classif1")(out1, train, lio)
         cost2 = clf(features=F, dtype=dt, name="classif2")(out2, train, lio) + cost1
         cost3 = clf(features=F, dtype=dt, name="classif3")(out3, train, lio) + cost2
+        if stop_at == "classif":
+            return cost3
 
         def regress(c):
             # [N, D_in, H_in, W_in, 1] -> upsample -> [N, D, H, W] -> disparity

@@ -232,67 +232,104 @@ def _scores(out):
             float(r.group(1)) if r else None)
 
 
+def run_arm(root, kroot, model, mode, n_train, n_epochs, seed,
+            train_lst, evalA_lst, evalB_lst):
+    """Train one (features-mode, seed) arm and eval in/cross domain.
+
+    mode: 'ms' | 'raw' | 'ms16' ('ms16' = matching-space with the
+    16-channel L+R feature assembly, --cbmv_F 16 — the one reference
+    capability with no accuracy evidence before round 5)."""
+    feats = "ms" if mode == "ms16" else mode
+    extra = ["--cbmv_F=16"] if mode == "ms16" else []
+    ck = os.path.join(root, f"ck_{mode}_s{seed}")
+    print(f"[xdom] === training features={mode} seed={seed} "
+          f"({n_train} scenes x {n_epochs} epochs) ===", flush=True)
+    _run_cli(["--mode=train", f"--model_name={model}",
+              "--crop_height=256", "--crop_width=512",
+              "--max_disp=192", "--batchSize=2", f"--nEpochs={n_epochs}",
+              f"--seed={seed}", f"--features={feats}", f"--data_path={root}",
+              f"--training_list={train_lst}", f"--test_list={evalA_lst}",
+              f"--checkpoint_dir={ck}", "--train_logdir=", "--threads=2",
+              "--lr=1e-3", "--log_summary_step=1000"] + extra)
+    ckpt = os.path.join(ck, model, f"model_epoch_{n_epochs:05d}.msgpack")
+    row = {}
+    print(f"[xdom] eval features={mode} s{seed} on family A (in-domain)",
+          flush=True)
+    out = _run_cli(["--mode=test", f"--model_name={model}",
+                    "--crop_height=320",
+                    "--crop_width=768", "--max_disp=192",
+                    f"--features={feats}", f"--data_path={root}",
+                    f"--test_list={evalA_lst}", f"--resume={ckpt}",
+                    f"--resultDir={os.path.join(root, f'resA_{mode}_{seed}')}"]
+                   + extra, capture=True)
+    row["in_domain_A"] = _scores(out)
+    print(f"\n[xdom] eval features={mode} s{seed} on family B "
+          f"(cross-domain, KITTI-native, bad-3)", flush=True)
+    out = _run_cli(["--mode=test", f"--model_name={model}",
+                    "--crop_height=384",
+                    "--crop_width=1248", "--max_disp=192",
+                    f"--features={feats}", "--kitti2015=1",
+                    f"--data_path={kroot}", f"--test_list={evalB_lst}",
+                    f"--resume={ckpt}",
+                    f"--resultDir={os.path.join(root, f'resB_{mode}_{seed}')}"]
+                   + extra, capture=True)
+    row["cross_domain_B"] = _scores(out)
+    return row
+
+
 def main():
     n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     root = sys.argv[3] if len(sys.argv) > 3 else tempfile.mkdtemp(
         prefix="msnets_xdom_")
     model = sys.argv[4] if len(sys.argv) > 4 else "MS-GCNet"
+    seeds = [int(s) for s in sys.argv[5].split(",")] \
+        if len(sys.argv) > 5 else [3]
+    modes = sys.argv[6].split(",") if len(sys.argv) > 6 else ["ms", "raw"]
     os.makedirs(root, exist_ok=True)
     h, w = 320, 768   # room for crop 256x512 + margins
 
-    print(f"[xdom] root={root}", flush=True)
+    print(f"[xdom] root={root} seeds={seeds} modes={modes}", flush=True)
     train_lst = write_sf_tree(root, n_train, h, w, "A", seed=11)
     evalA_lst = write_sf_tree(root, 6, h, w, "A", seed=12, test=True)
     kroot = os.path.join(root, "ktree")
     evalB_lst = write_kitti_tree(kroot, 6, "B", seed=13)
 
     results = {}
-    for mode in ("ms", "raw"):
-        ck = os.path.join(root, f"ck_{mode}")
-        print(f"[xdom] === training features={mode} "
-              f"({n_train} scenes x {n_epochs} epochs) ===", flush=True)
-        _run_cli(["--mode=train", f"--model_name={model}",
-                  "--crop_height=256", "--crop_width=512",
-                  "--max_disp=192", "--batchSize=2", f"--nEpochs={n_epochs}",
-                  "--seed=3", f"--features={mode}", f"--data_path={root}",
-                  f"--training_list={train_lst}", f"--test_list={evalA_lst}",
-                  f"--checkpoint_dir={ck}", "--train_logdir=", "--threads=2",
-                  "--lr=1e-3", "--log_summary_step=1000"])
-        ckpt = os.path.join(ck, model,
-                            f"model_epoch_{n_epochs:05d}.msgpack")
-        row = {}
-        print(f"[xdom] eval features={mode} on family A (in-domain)",
-              flush=True)
-        out = _run_cli(["--mode=test", f"--model_name={model}",
-                        "--crop_height=320",
-                        "--crop_width=768", "--max_disp=192",
-                        f"--features={mode}", f"--data_path={root}",
-                        f"--test_list={evalA_lst}", f"--resume={ckpt}",
-                        f"--resultDir={os.path.join(root, 'resA_' + mode)}"],
-                       capture=True)
-        row["in_domain_A"] = _scores(out)
-        print(f"\n[xdom] eval features={mode} on family B (cross-domain, "
-              f"KITTI-native, bad-3)", flush=True)
-        out = _run_cli(["--mode=test", f"--model_name={model}",
-                        "--crop_height=384",
-                        "--crop_width=1248", "--max_disp=192",
-                        f"--features={mode}", "--kitti2015=1",
-                        f"--data_path={kroot}", f"--test_list={evalB_lst}",
-                        f"--resume={ckpt}",
-                        f"--resultDir={os.path.join(root, 'resB_' + mode)}"],
-                       capture=True)
-        row["cross_domain_B"] = _scores(out)
-        results[mode] = row
+    res_path = os.path.join(root, "results.json")
+    for mode in modes:
+        per_seed = []
+        for seed in seeds:
+            per_seed.append(run_arm(root, kroot, model, mode, n_train,
+                                    n_epochs, seed, train_lst, evalA_lst,
+                                    evalB_lst))
+            results[mode] = _aggregate(per_seed)
+            with open(res_path, "w") as f:     # checkpoint partial results
+                json.dump(results, f, indent=2)
 
-    print("\n[xdom] ===== RESULTS (EPE px, bad-rate) =====")
-    for mode, row in results.items():
-        print(f"  features={mode:4s}  in-domain A: EPE {row['in_domain_A'][0]}"
-              f" bad {row['in_domain_A'][1]}   cross-domain B: "
-              f"EPE {row['cross_domain_B'][0]} bad-3 {row['cross_domain_B'][1]}")
-    with open(os.path.join(root, "results.json"), "w") as f:
-        json.dump(results, f, indent=2)
-    print(f"[xdom] wrote {os.path.join(root, 'results.json')}")
+    print("\n[xdom] ===== RESULTS (mean [min..max] over "
+          f"{len(seeds)} seed(s)) =====")
+    for mode, agg in results.items():
+        def fmt(k):
+            m = agg[k]
+            return (f"EPE {m['epe_mean']:.2f} [{m['epe_min']:.2f}.."
+                    f"{m['epe_max']:.2f}] bad {m['bad_mean']:.3f} "
+                    f"[{m['bad_min']:.3f}..{m['bad_max']:.3f}]")
+        print(f"  features={mode:5s}  in-domain A: {fmt('in_domain_A')}   "
+              f"cross-domain B: {fmt('cross_domain_B')}")
+    print(f"[xdom] wrote {res_path}")
+
+
+def _aggregate(per_seed):
+    """Per-mode mean/min/max over seeds + the raw per-seed rows."""
+    agg = {"seeds": per_seed}
+    for k in ("in_domain_A", "cross_domain_B"):
+        epes = [float(r[k][0]) for r in per_seed]
+        bads = [float(r[k][1]) for r in per_seed]
+        agg[k] = {"epe_mean": sum(epes) / len(epes), "epe_min": min(epes),
+                  "epe_max": max(epes), "bad_mean": sum(bads) / len(bads),
+                  "bad_min": min(bads), "bad_max": max(bads)}
+    return agg
 
 
 if __name__ == "__main__":

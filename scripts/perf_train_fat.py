@@ -110,7 +110,18 @@ def hlo_glue_report(tr, state, iml, imr, disp, lr, bh, bwl, top=25):
     cat_bytes = defaultdict(int)
     cat_count = defaultdict(int)
     glue = []
+    in_entry = False
     for line in txt.splitlines():
+        # only ENTRY-computation instructions materialize buffers; fusion
+        # bodies (%fused_computation...) are free internal ops
+        if line.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if line.startswith("}"):
+            in_entry = False
+            continue
+        if not in_entry:
+            continue
         m = re.match(r"\s*(%?[\w.-]+)\s*=\s*((?:\([^)]*\))|\S+)\s+(\w[\w-]*)\(",
                      line)
         if not m:
@@ -144,11 +155,12 @@ def hlo_glue_report(tr, state, iml, imr, disp, lr, bh, bwl, top=25):
 
 def main():
     tr, state, iml, imr, disp, lr, bh, bwl = build()
-    txt = hlo_glue_report(tr, state, iml, imr, disp, lr, bh, bwl)
-    out = "/tmp/train_step_hlo.txt"
-    with open(out, "w") as f:
-        f.write(txt)
-    print(f"[saved optimized HLO to {out}]")
+    if "--time-only" not in sys.argv:
+        txt = hlo_glue_report(tr, state, iml, imr, disp, lr, bh, bwl)
+        out = "/tmp/train_step_hlo.txt"
+        with open(out, "w") as f:
+            f.write(txt)
+        print(f"[saved optimized HLO to {out}]")
     if "--hlo-only" not in sys.argv:
         ms = scan_step_time(tr, state, iml, imr, disp, lr, bh, bwl)
         print(f"\nfull train step scan-basis: {ms:.1f} ms/step "
