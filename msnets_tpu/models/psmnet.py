@@ -112,6 +112,12 @@ class _Classifier(nn.Module):
             h = nn.relu(ConvBN3D(F, 1, dtype=self.dtype, name="convbn")(
                 x, train, "std", "shift"))
             kernel = _KernelHolder((3, 3, 3, F, 1), 3, name="conv")()
+            # the cout=1 packed conv (N=4 MXU lanes) is this head's
+            # measured floor: a full-lane tap-projection form (one [4C,108]
+            # block-diag GEMM + 27 slice-adds per output phase) was built,
+            # parity-exact, and LOST integrated 56.3 -> 67.0 ms/pair — the
+            # combine's per-tap single-channel reads on the minor dim cost
+            # more than the N-lane padding saves (PERF.md round 5).
             y = conv3d_s1_hw_packed(h, kernel.astype(self.dtype),
                                     self.dtype, to_shifted=False)
             return hw_unpack(y)

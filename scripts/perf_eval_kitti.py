@@ -31,6 +31,8 @@ def main():
     from msnets_tpu.models import build_model
     from msnets_tpu.ops.features import ms_features_test
 
+    import sys as _s
+    model_name = "MS-PSMNet" if "--psmnet" in _s.argv else "MS-GCNet"
     mcfg = MatchingConfig()
     rng = np.random.default_rng(0)
     # EVAL_QUANT=dynamic|static -> int8 eval arms (see ModelConfig.quant_mode)
@@ -39,7 +41,7 @@ def main():
                              (576, 960, 192, "MB/ETH 576x960"),
                              (256, 512, 192, "bench 256x512")]:
         model = build_model(ModelConfig(
-            name="MS-GCNet", max_disp=D, quant_eval=bool(quant),
+            name=model_name, max_disp=D, quant_eval=bool(quant),
             quant_mode=quant if quant == "static" else "dynamic"))
         iml = jnp.asarray(rng.integers(0, 256, (H, W), dtype=np.uint8))
         imr = jnp.asarray(rng.integers(0, 256, (H, W), dtype=np.uint8))
@@ -47,7 +49,7 @@ def main():
         v = model.init(jax.random.PRNGKey(0),
                        jnp.zeros(feats_shape, jnp.float32), train=False)
         if quant == "static":
-            calib = build_model(ModelConfig(name="MS-GCNet", max_disp=D,
+            calib = build_model(ModelConfig(name=model_name, max_disp=D,
                                             quant_eval=True,
                                             quant_mode="calib"))
             f = ms_features_test(iml, imr, D, mcfg, True, jnp.bfloat16)[None]

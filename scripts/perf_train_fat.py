@@ -50,11 +50,14 @@ def build():
                                    ModelConfig, TrainConfig)
     from msnets_tpu.engine import Trainer
 
+    model = "MS-PSMNet" if "--psmnet" in sys.argv else "MS-GCNet"
+    # MS-PSMNet reference-recipe CLI default: no-remat micro-batching
+    tkw = dict(remat=False, grad_accum=2) if model == "MS-PSMNet" else {}
     mcfg = MatchingConfig()
     cfg = Config(matching=mcfg,
-                 model=ModelConfig(name="MS-GCNet", max_disp=192),
+                 model=ModelConfig(name=model, max_disp=192),
                  train=TrainConfig(crop_height=256, crop_width=512,
-                                   batch_size=2),
+                                   batch_size=2, **tkw),
                  data=DataConfig())
     tr = Trainer(cfg)
     state = tr.init_state(tr.feats_shape_for(2))
@@ -84,8 +87,10 @@ def scan_step_time(tr, state, iml, imr, disp, lr, bh, bwl, iters=8):
                     if hasattr(inner, "_fun") else inner(st, a, imr, disp, lr)
                 return st2, m["loss"]
             st, losses = jax.lax.scan(body, state, None, length=n)
-            return losses.sum() + st.params["conv3dbn_1"]["conv"][
-                "kernel"].sum().astype(jnp.float32)
+            # anchor the carry on a param leaf so the Adam update chain is
+            # live (model-agnostic: first leaf of the param tree)
+            leaf = jax.tree_util.tree_leaves(st.params)[0]
+            return losses.sum() + leaf.sum().astype(jnp.float32)
         return loop
 
     # NOTE: calling the jitted inner inside jit retraces its python body —
@@ -165,6 +170,19 @@ def main():
         ms = scan_step_time(tr, state, iml, imr, disp, lr, bh, bwl)
         print(f"\nfull train step scan-basis: {ms:.1f} ms/step "
               f"({2e3/ms:.2f} pairs/s)")
+        try:
+            fn = tr.step_fn(bh, bwl, 0)
+            ca = fn.lower(state, iml, imr, disp, lr).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            fl = float(ca.get("flops", 0.0))
+            if fl:
+                mfu = fl / (ms * 1e-3) / 197e12
+                print(f"whole-graph train MFU: {mfu:.3f} "
+                      f"({fl/1e12:.2f} TFLOP/step analytical, v5e bf16 peak "
+                      f"197 TFLOP/s)")
+        except Exception as e:
+            print(f"cost_analysis unavailable: {e}")
 
 
 if __name__ == "__main__":
