@@ -305,9 +305,18 @@ def test_grad_accum_matches_single_step_on_duplicated_batch(cfg):
         jnp.asarray(dup(t1)), lr)
 
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    # per-element bound: a component whose gradient is ~0 can flip SIGN
+    # under fp reassociation (the accum path sums micro-batch grads in a
+    # different order), and Adam's bias-corrected first step then moves it
+    # by up to +-lr either way -> 2*lr ceiling (same bound as the train
+    # goldens). The aggregate drift stays tiny — that is the real check.
+    drift = []
     for a, b in zip(jax.tree.leaves(s1b.params), jax.tree.leaves(s2b.params)):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        drift.append(d.ravel())
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-4, atol=2.2 * 1e-3)
+    assert np.concatenate(drift).mean() < 1e-5
     np.testing.assert_allclose(np.asarray(d2[0]), np.asarray(d1[0]),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(d2[1]), np.asarray(d1[0]),
