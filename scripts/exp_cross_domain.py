@@ -46,6 +46,8 @@ D_FG = (28, 72)         # foreground shape disparities — capped so the
                         # semi-occluded bands (width = d_fg - d_bg, left of
                         # each shape) stay realistic; the first cut went to
                         # 120 and occlusions alone contributed ~15 px EPE
+MAX_DISP = 192          # the evaluated models' disparity range; eval GT
+                        # masks the left MAX_DISP-wide band (below)
 
 
 # ---------------------------------------------------------------------------
@@ -156,6 +158,26 @@ def render_scene(rng, h, w, family):
     return u8(left), u8(right), disp.astype(np.float32)
 
 
+def _mask_left_band(disp, test):
+    """Zero eval GT in the left MAX_DISP-wide band (GT 0 = invalid under
+    the eval mask). For x < MAX_DISP part of the cost volume's disparity
+    axis references out-of-frame right-view columns and carries SENTINEL
+    features; training crops always include the bwl = max_disp margin
+    (crop_position), so the region's sentinel statistics are never
+    supervised and every model fills it with confident garbage — round-5
+    measurement: a fully-converged MS-GCNet scored EPE 0.2-0.6 everywhere
+    EXCEPT this band's ~110, which alone produced round-4's "in-domain
+    under-convergence" (5.47 overall). Real KITTI GT is effectively absent
+    there (sparse lidar + occlusion), so masking mirrors the reference's
+    actual scoring protocol (README.md:92-101). Train GT is left unmasked —
+    the margin construction already keeps training inside supported
+    columns."""
+    if test:
+        disp = disp.copy()
+        disp[:, :MAX_DISP] = 0.0
+    return disp
+
+
 def write_sf_tree(root, n, h, w, family, seed, test=False):
     """Scene-Flow-layout tree (train / in-domain eval)."""
     import cv2
@@ -165,6 +187,7 @@ def write_sf_tree(root, n, h, w, family, seed, test=False):
     split = "TEST" if test else "TRAIN"
     for i in range(n):
         left, right, disp = render_scene(rng, h, w, family)
+        disp = _mask_left_band(disp, test)
         rel = f"FlyingThings3D/frames_finalpass/{split}/A/{i:04d}/left"
         ldir = os.path.join(root, rel)
         rdir = ldir.replace("/left", "/right")
@@ -193,6 +216,7 @@ def write_kitti_tree(root, n, family, seed):
     entries = []
     for i in range(n):
         left, right, disp = render_scene(rng, h, w, family)
+        disp = _mask_left_band(disp, test=True)
         entry = f"{i:06d}_10.png"
         cv2.imwrite(os.path.join(root, "image_0", entry), left)
         cv2.imwrite(os.path.join(root, "image_1", entry), right)
