@@ -38,9 +38,10 @@ def main():
         quant_mode=quant_mode,
         packed_eval_outer=bool(int(os.environ.get("PSM_PACKED_OUTER", "1")))))
 
+    B = int(os.environ.get("PSM_BATCH", "1"))
     rng = np.random.default_rng(0)
-    iml = jnp.asarray(rng.integers(0, 256, (1, H, W), dtype=np.uint8))
-    imr = jnp.asarray(rng.integers(0, 256, (1, H, W), dtype=np.uint8))
+    iml = jnp.asarray(rng.integers(0, 256, (B, H, W), dtype=np.uint8))
+    imr = jnp.asarray(rng.integers(0, 256, (B, H, W), dtype=np.uint8))
     feats_shape = (1, D // 2, H // 2, W // 2, 8)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros(feats_shape, jnp.float32), train=False)
@@ -81,9 +82,9 @@ def main():
 
     t1 = timed(make_loop(1))
     tn = timed(make_loop(iters))
-    per = (tn - t1) / (iters - 1)
-    print(f"MS-PSMNet eval: {per*1e3:.1f} ms/pair = {1/per:.1f} pairs/s "
-          f"(t1 {t1*1e3:.0f} ms, t{iters} {tn*1e3:.0f} ms)")
+    per = (tn - t1) / (iters - 1) / B
+    print(f"MS-PSMNet eval (batch {B}): {per*1e3:.1f} ms/pair = "
+          f"{1/per:.1f} pairs/s (t1 {t1*1e3:.0f} ms, t{iters} {tn*1e3:.0f} ms)")
 
 
 if __name__ == "__main__":
