@@ -41,10 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                         " BN batch statistics are computed per micro-batch"
                         " (sequentially threaded = consecutive reference"
                         " steps' semantics), not over the full batch."
-                        " NOTE: MS-PSMNet with an even batch and no explicit"
-                        " --remat/--grad_accum defaults to grad_accum=2 +"
-                        " no-remat (444.5 vs 659.2 ms/step; a log line"
-                        " records when this engages)")
+                        " NOTE: MS-PSMNet with batch >= 2 and no explicit"
+                        " --remat/--grad_accum defaults to no-remat +"
+                        " micro-batch-1 accumulation (grad_accum=batch;"
+                        " 406 vs 659 ms/step at the reference recipe; a log"
+                        " line records when this engages)")
     p.add_argument("--log_summary_step", type=int, default=200)
     p.add_argument("--nEpochs", type=int, default=400)
     p.add_argument("--startEpoch", type=int, default=0)
@@ -129,18 +130,21 @@ def args_to_config(a) -> Config:
         a.model_name == "MS-PSMNet" or TrainConfig.remat)
     grad_accum = a.grad_accum
     if (a.model_name == "MS-PSMNet" and a.remat is None
-            and a.grad_accum == 1 and a.batchSize % 2 == 0):
-        # MS-PSMNet reference-recipe default: NO remat, batch as two
-        # sequential micro-batches — activations halve (12.3 vs 17.5 GiB
-        # AOT) and no recompute is paid: 444.5 vs 659.2 ms/step measured
-        # (scripts/perf_psmnet_remat.py scope=accum, PERF.md round 4). BN
-        # stats thread sequentially = consecutive reference steps'
-        # semantics. Explicit --remat/--no_remat or --grad_accum overrides.
-        remat, grad_accum = False, 2
-        print("[**] MS-PSMNet default engaged: no-remat + grad_accum=2 "
-              "micro-batching (BN stats per half-batch, a deviation from "
-              "the reference's full-batch BN; override with --remat or "
-              "--grad_accum 1)")
+            and a.grad_accum == 1 and a.batchSize >= 2):
+        # MS-PSMNet reference-recipe default: NO remat, the batch as
+        # batchSize sequential micro-batches of ONE — activations shrink to
+        # a single pair's (10.6 GiB AOT, perf_psmnet_remat.py scope=accum)
+        # and no recompute is paid: 406 vs 659 ms/step measured at the
+        # reference recipe (PERF.md round 5). micro-batch 1 is the ONLY
+        # no-remat size that fits: micro-batch 2 (the round-4 default's
+        # grad_accum=2 at batchSize 4) needs ~20 GiB and OOMs. BN stats
+        # thread sequentially = consecutive reference steps' semantics.
+        # Explicit --remat/--no_remat or --grad_accum overrides.
+        remat, grad_accum = False, a.batchSize
+        print(f"[**] MS-PSMNet default engaged: no-remat + micro-batch-1 "
+              f"accumulation (grad_accum={a.batchSize}; BN stats per "
+              f"sample, a deviation from the reference's full-batch BN; "
+              f"override with --remat or --grad_accum 1)")
     matching = MatchingConfig(sf_frames_type=a.sf_frames,
                               num_channels=a.cbmv_F,
                               features_mode=getattr(a, "features", "ms"))

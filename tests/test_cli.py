@@ -64,21 +64,27 @@ def test_dataset_flag_dispatch():
 
 def test_remat_default_is_model_dependent():
     """MS-GCNet defaults to no remat (faster). MS-PSMNet's reference-recipe
-    default is no-remat + grad_accum=2 micro-batching (444.5 vs 659.2
-    ms/step, PERF.md round 4); odd batch sizes fall back to remat-all, and
-    explicit --remat/--no_remat/--grad_accum override."""
+    default is no-remat + micro-batch-1 accumulation (grad_accum=batch,
+    406 vs 659 ms/step, PERF.md round 5) for ANY batch >= 2 — micro-batch 1
+    is the only no-remat size that fits (10.6 GiB vs ~20 for micro-batch
+    2); batch 1 falls back to remat-all, and explicit
+    --remat/--no_remat/--grad_accum override."""
     c = cli.args_to_config(cli.build_parser().parse_args([]))
     assert c.train.remat is False and c.train.grad_accum == 1
     c = cli.args_to_config(cli.build_parser().parse_args(
         ["--model_name=MS-PSMNet", "--batchSize=2"]))
     assert c.train.remat is False and c.train.grad_accum == 2
-    # odd batch (incl. the batchSize=1 parser default) -> remat-all
+    # batch 1 (the parser default) -> remat-all
     c = cli.args_to_config(cli.build_parser().parse_args(
         ["--model_name=MS-PSMNet"]))
     assert c.train.remat is True and c.train.grad_accum == 1
+    # odd batches >= 2 and larger even batches keep micro-batch 1
     c = cli.args_to_config(cli.build_parser().parse_args(
         ["--model_name=MS-PSMNet", "--batchSize=3"]))
-    assert c.train.remat is True and c.train.grad_accum == 1
+    assert c.train.remat is False and c.train.grad_accum == 3
+    c = cli.args_to_config(cli.build_parser().parse_args(
+        ["--model_name=MS-PSMNet", "--batchSize=4"]))
+    assert c.train.remat is False and c.train.grad_accum == 4
     c = cli.args_to_config(cli.build_parser().parse_args(
         ["--model_name=MS-PSMNet", "--batchSize=2", "--grad_accum=4"]))
     assert c.train.remat is True and c.train.grad_accum == 4
