@@ -120,3 +120,45 @@ def test_gspmd_kernel_bug_probe_script():
                        text=True, env=env, timeout=600)
     assert p.returncode in (0, 1), (p.returncode, p.stdout, p.stderr)
     assert ("FAIL(bug present)" in p.stdout) == (p.returncode == 1)
+
+
+@pytest.mark.slow
+def test_psmnet_sharded_step_matches_unsharded():
+    """MS-PSMNet under the full (2,2,2) mesh vs single-device — the
+    stacked-hourglass train graph exercises shardings the flagship does
+    not (packed-std outer graph end-to-end, hourglass stride-2 interiors,
+    trilinear-upsampled multi-head loss), so mesh equivalence needs its
+    own proof (round-5 gap: every sharded suite was GCNet-only)."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    cfg = Config(
+        matching=MatchingConfig(board_h=4),
+        model=ModelConfig(name="MS-PSMNet", max_disp=32, base_filters=8,
+                          compute_dtype="float32"),
+        train=TrainConfig(crop_height=64, crop_width=128, batch_size=2,
+                          remat=False, grad_accum=2),
+        data=DataConfig(),
+    )
+    iml, imr, disp = _batch(cfg, seed=5)
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    tr0 = Trainer(cfg)
+    s0 = tr0.init_state(tr0.feats_shape_for(2), seed=0)
+    s0b, m0, d0 = tr0.step_fn(4, 32, 0)(
+        s0, jnp.asarray(iml), jnp.asarray(imr), jnp.asarray(disp), lr)
+
+    mesh = pm.make_mesh(devices=jax.devices()[:8])
+    tr1 = Trainer(cfg, mesh=mesh)
+    with mesh:
+        s1 = tr1.init_state(tr1.feats_shape_for(2), seed=0)
+        s1b, m1, d1 = tr1.step_fn(4, 32, 0)(
+            s1, jnp.asarray(iml), jnp.asarray(imr), jnp.asarray(disp), lr)
+
+    for k in m0:
+        assert abs(float(m0[k]) - float(m1[k])) < 1e-3, (k, m0[k], m1[k])
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=5e-2)
+    l0 = jax.tree.leaves(s0b.batch_stats)
+    l1 = jax.tree.leaves(s1b.batch_stats)
+    assert l0 and len(l0) == len(l1)
+    for a, b in zip(l0, l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
