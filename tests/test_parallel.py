@@ -162,3 +162,26 @@ def test_psmnet_sharded_step_matches_unsharded():
     for a, b in zip(l0, l1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_psmnet_sharded_eval_matches_unsharded():
+    """MS-PSMNet EVAL forward under a spatial x disp mesh — the 2-conv-dim
+    regime of the GSPMD computed-kernel hazard (pmesh.replicate) — must
+    reproduce the single-device forward."""
+    from msnets_tpu.models import build_model
+    assert len(jax.devices()) >= 4
+    mcfg = ModelConfig(name="MS-PSMNet", max_disp=32, base_filters=8,
+                       compute_dtype="float32")
+    model = build_model(mcfg)
+    rng = np.random.default_rng(9)
+    cv = jnp.asarray(rng.standard_normal((1, 16, 16, 32, 8)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros_like(cv), train=False)
+    d0 = model.apply(v, cv, train=False)
+
+    mesh = pm.make_mesh((1, 2, 2), devices=jax.devices()[:4])
+    with mesh, pm.active_mesh(mesh):
+        cvs = jax.device_put(cv, pm.shard(mesh, pm.VOLUME))
+        d1 = jax.jit(lambda v, x: model.apply(v, x, train=False))(v, cvs)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                               rtol=2e-4, atol=2e-4)
