@@ -174,3 +174,25 @@ def test_serve_sharded_mesh_matches_unsharded():
     d0 = StereoServer(cfg, variables).predict(iml, imr)
     d1 = StereoServer(cfg, variables, mesh=mesh).predict(iml, imr)
     np.testing.assert_allclose(d1, d0, rtol=2e-4, atol=2e-4)
+
+
+def test_serve_psmnet_smoke():
+    """The serving surface supports the second model family: a
+    MS-PSMNet StereoServer predicts a sane disparity map (shape, range,
+    finiteness) through the same bucket/pad/unpad path."""
+    cfg = Config(model=ModelConfig(name="MS-PSMNet", max_disp=32,
+                                   base_filters=8,
+                                   compute_dtype="float32"),
+                 matching=MatchingConfig())
+    from msnets_tpu.models import build_model
+    model = build_model(cfg.model)
+    fs = (1, 16, 16, 32, 8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(fs, jnp.float32), train=False)
+    srv = StereoServer(cfg, variables)
+    rng = np.random.default_rng(0)
+    iml = rng.integers(0, 256, (48, 96), dtype=np.uint8)
+    imr = rng.integers(0, 256, (48, 96), dtype=np.uint8)
+    d = np.asarray(srv.predict(iml, imr))
+    assert d.shape == (48, 96)
+    assert np.isfinite(d).all() and d.min() >= 0 and d.max() <= 32
